@@ -1,0 +1,86 @@
+"""Benchmark harness: train-step throughput on the flagship config.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Metric: rays/s for the full training step (fwd+bwd+Adam, hierarchical
+128+128 samples, 8x256 MLP, batch 1024 — the reference GPU path's workload,
+helpers.h:16-18). ``vs_baseline`` is measured rays/s divided by the
+single-chip roofline estimate (fraction of speed-of-light):
+
+  FLOPs/step ~= 3 * 2 * batch * (2 levels * 128 samples) * n_params
+  (fwd + ~2x bwd, SURVEY.md §6), roofline = peak_flops / FLOPs_per_ray.
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+PEAK_FLOPS = {
+    # bf16 dense peak per chip
+    "TPU v5 lite": 197e12,   # v5e
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,   # v6e
+    "cpu": 1e11,
+}
+
+
+def guess_peak(device) -> float:
+    kind = getattr(device, "device_kind", "cpu")
+    for k, v in PEAK_FLOPS.items():
+        if kind.startswith(k):
+            return v
+    return PEAK_FLOPS["cpu"]
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--batch-size", type=int, default=4096)
+    parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--warmup", type=int, default=3)
+    args = parser.parse_args()
+
+    import jax
+
+    from __graft_entry__ import _example_batch
+    from nerf_or_nothing_tpu.config import Config
+    from nerf_or_nothing_tpu.models import mlp as mlp_lib
+    from nerf_or_nothing_tpu.train import init_train_state, make_jitted_train_step
+
+    cfg = Config(batch_size=args.batch_size)
+    state = init_train_state(cfg)
+    rays, pixels = _example_batch(cfg, cfg.batch_size)
+    step = make_jitted_train_step(cfg)
+
+    # warmup / compile. NB: sync via float() materialization, not
+    # block_until_ready — the latter can be a no-op on experimental
+    # tunneled PJRT platforms and yields wildly optimistic timings.
+    for _ in range(args.warmup):
+        state, stats = step(state, rays, pixels)
+    float(stats.loss)
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, stats = step(state, rays, pixels)
+    float(stats.loss)
+    dt = (time.perf_counter() - t0) / args.steps
+
+    rays_per_sec = cfg.batch_size / dt
+
+    n_params = mlp_lib.num_params(cfg)
+    flops_per_ray = 3 * 2 * (cfg.num_levels * cfg.num_samples) * n_params
+    peak = guess_peak(jax.devices()[0])
+    roofline_rays_per_sec = peak / flops_per_ray
+
+    print(json.dumps({
+        "metric": "train_rays_per_sec",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s/chip",
+        "vs_baseline": round(rays_per_sec / roofline_rays_per_sec, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,220 @@
+"""Configuration for the TPU-native MipNeRF framework.
+
+One frozen dataclass is the single source of truth for every knob the
+reference scatters across three places (C# ``Config`` in
+``ScratchNerf/TrainState.cs:45-72``, model-class defaults in
+``ScratchNerf/MipNerfModel.cs:10-28`` / ``ScratchNerf/MLP.cs:8-20``, and the
+CUDA ``constexpr`` duplicates in ``AcceleratedNeRFUtils/helpers.h:16-20``).
+Shapes flow from here into jit/pallas specializations at trace time, so there
+is no duplicated constant anywhere else in this codebase.
+
+The declared-but-dead reference flags (``GradMaxNorm``, ``GradMaxVal``,
+``SaveEvery``, ``WeightDecayMult`` — ``TrainState.cs:58-64``) are implemented
+as *working* features here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Any, Sequence
+
+
+class RayShape(enum.Enum):
+    """Shape of the cast ray volume (``MipHelpers.cs:333-336``)."""
+
+    CONE = "cone"
+    CYLINDER = "cylinder"
+
+
+class DatasetType(enum.Enum):
+    """Dataset loader selector (``TrainState.cs:41-44`` DatasetType enum)."""
+
+    BLENDER = "blender"
+    LLFF = "llff"
+    MULTICAM = "multicam"
+    BIN = "bin"  # preprocessed 64-byte ray records (BinDataset.cs)
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    """All training / model / data hyperparameters.
+
+    Field-for-field superset of the reference ``Config``
+    (``TrainState.cs:45-72``) plus the model fields
+    (``MipNerfModel.cs:10-28``, ``MLP.cs:8-20``).
+    """
+
+    # ---- data (TrainState.cs:46-53, Flags.cs:9-13) ----
+    dataset_loader: DatasetType = DatasetType.BLENDER
+    data_dir: str = ""
+    batch_size: int = 1024          # rays / step (BinDataset.cs:12 GPU path)
+    factor: int = 0                 # image downsample factor (LLFF)
+    spherify: bool = False
+    render_path: bool = False
+    llff_hold: int = 8
+    near: float = 2.0               # TrainState.cs:66
+    far: float = 6.0                # TrainState.cs:67
+    white_bkgd: bool = True         # TrainState.cs:71
+
+    # ---- optimization (TrainState.cs:54-65) ----
+    lr_init: float = 5e-4
+    lr_final: float = 5e-6
+    lr_delay_steps: int = 2500
+    lr_delay_mult: float = 0.01
+    grad_max_norm: float = 0.0      # 0 = off (declared-dead in reference)
+    grad_max_val: float = 0.0       # 0 = off (declared-dead in reference)
+    max_steps: int = 1_000_000
+    save_every: int = 100_000
+    print_every: int = 100
+    gc_every: int = 10_000
+    test_render_interval: int = 1
+    disable_multiscale_loss: bool = False
+    randomized: bool = True
+    coarse_loss_mult: float = 0.1   # TrainState.cs:69
+    weight_decay_mult: float = 0.0  # TrainState.cs:70 (declared-dead there)
+    adam_beta1: float = 0.9         # AcceleratedAdamOptimizer.h:16-19
+    adam_beta2: float = 0.999
+    adam_eps: float = 1e-8
+
+    # ---- model (MipNerfModel.cs:10-28) ----
+    num_samples: int = 128          # samples per level
+    num_levels: int = 2             # coarse + fine
+    resample_padding: float = 0.01
+    stop_level_grad: bool = True
+    lin_disp: bool = False
+    ray_shape: RayShape = RayShape.CONE
+    min_deg_point: int = 0
+    max_deg_point: int = 16
+    deg_view: int = 4
+    density_bias: float = -1.0
+    rgb_padding: float = 0.001
+    # The reference C# path encodes the *unnormalized* ray direction
+    # (MipNerfModel.cs:70). Canonical mip-NeRF encodes normalized viewdirs;
+    # both are supported, canonical is the default.
+    use_viewdirs: bool = True
+
+    # ---- MLP architecture (MLP.cs:8-20) ----
+    net_depth: int = 8
+    net_width: int = 256
+    net_depth_condition: int = 1
+    net_width_condition: int = 128
+    skip_layer: int = 4
+    num_rgb_channels: int = 3
+    num_density_channels: int = 1
+
+    # ---- TPU execution (new; no reference equivalent — SURVEY.md §2.11) ----
+    use_pallas: bool = True         # fused Pallas kernels on the hot path
+    compute_dtype: str = "bfloat16"  # MXU-friendly; params/accum stay f32
+    mesh_shape: Sequence[int] = (1,)  # devices along the 'batch' axis
+    donate_params: bool = True
+    remat: bool = False             # jax.checkpoint over the per-level MLP
+
+    # ---- eval / render ----
+    render_chunk_size: int = 8192   # rays per chunk for full-image renders
+
+    # ---- checkpointing ----
+    checkpoint_dir: str = ""
+    resume: bool = True
+
+    seed: int = 0
+
+    # ------------------------------------------------------------------
+    @property
+    def num_location_encodings(self) -> int:
+        """IPE feature groups: 2*(max_deg-min_deg) Vector3s (MLP.cs:67)."""
+        return 2 * (self.max_deg_point - self.min_deg_point)
+
+    @property
+    def num_direction_encodings(self) -> int:
+        """View PE groups incl. identity: 2*deg_view+1 (MLP.cs:68)."""
+        return 2 * self.deg_view + 1
+
+    @property
+    def location_features(self) -> int:
+        return 3 * self.num_location_encodings  # 96 at defaults
+
+    @property
+    def direction_features(self) -> int:
+        return 3 * self.num_direction_encodings  # 27 at defaults
+
+    def replace(self, **kw: Any) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def tiny_config(**overrides: Any) -> Config:
+    """BASELINE config 1: tiny MipNeRF (4x128), coarse-only 64 samples."""
+    base = dict(
+        net_depth=4,
+        net_width=128,
+        net_width_condition=64,
+        num_samples=64,
+        num_levels=1,
+        max_deg_point=8,
+        batch_size=256,
+        use_pallas=False,
+    )
+    base.update(overrides)
+    return Config(**base)
+
+
+def full_config(**overrides: Any) -> Config:
+    """BASELINE config 3: full hierarchical MipNeRF (8x256, 128+128)."""
+    return Config(**overrides)
+
+
+_FLAG_ALIASES = {
+    # reference name -> our field (case-insensitive match also applied)
+    "datasetloader": "dataset_loader",
+    "datadir": "data_dir",
+    "batchsize": "batch_size",
+    "llffhold": "llff_hold",
+    "lrinit": "lr_init",
+    "lrfinal": "lr_final",
+    "lrdelaysteps": "lr_delay_steps",
+    "lrdelaymult": "lr_delay_mult",
+    "gradmaxnorm": "grad_max_norm",
+    "gradmaxval": "grad_max_val",
+    "maxsteps": "max_steps",
+    "saveevery": "save_every",
+    "printevery": "print_every",
+    "gcevery": "gc_every",
+    "testrenderinterval": "test_render_interval",
+    "disablemultiscaleloss": "disable_multiscale_loss",
+    "coarselossmult": "coarse_loss_mult",
+    "weightdecaymult": "weight_decay_mult",
+    "whitebkgd": "white_bkgd",
+}
+
+
+def parse_flags(argv: Sequence[str], base: Config | None = None) -> Config:
+    """Minimal ``--key=value`` CLI overrides onto a base config.
+
+    The reference has no CLI at all (static mutable Config class); this is the
+    working flag system SURVEY.md §5.6 calls for.
+    """
+    cfg = base or Config()
+    fields = {f.name: f for f in dataclasses.fields(Config)}
+    updates: dict[str, Any] = {}
+    for arg in argv:
+        if not arg.startswith("--"):
+            continue
+        key, _, value = arg[2:].partition("=")
+        key = key.replace("-", "_").lower()
+        key = _FLAG_ALIASES.get(key.replace("_", ""), key)
+        if key not in fields:
+            raise ValueError(f"unknown flag --{key}")
+        f = fields[key]
+        if f.type in ("int", int):
+            updates[key] = int(value)
+        elif f.type in ("float", float):
+            updates[key] = float(value)
+        elif f.type in ("bool", bool):
+            updates[key] = value.lower() in ("1", "true", "yes")
+        elif key == "dataset_loader":
+            updates[key] = DatasetType(value.lower())
+        elif key == "ray_shape":
+            updates[key] = RayShape(value.lower())
+        else:
+            updates[key] = value
+    return cfg.replace(**updates)

@@ -1,0 +1,121 @@
+"""Dataset framework: load renderings -> generate rays -> batch iterator.
+
+TPU-native equivalent of the reference framework (``ScratchNerf/Dataset.cs``):
+``Dataset.TrainInit`` (LoadRenderings -> GenerateRays -> pixel decode,
+Dataset.cs:76-106), the random-pixel batch sampler (``NextTrain``,
+Dataset.cs:187-200 — with its incoherent collision-remap replaced by a plain
+with-replacement draw from a seeded PRNG), the one-batch ``Peek``/``Next``
+lookahead (Dataset.cs:177-184) generalized to a background prefetch thread,
+and ``DatasetFactory.CreateDataset`` (Dataset.cs:18-30).
+
+``TestInit`` — which *throws* in the reference (Dataset.cs:107-110) — is
+implemented: test split yields per-image ray grids for full-image eval.
+
+Multi-host sharding: each process draws from its own ``process_index`` stripe
+of the pixel pool, so a pod slice trains on disjoint rays without any
+cross-host coordination (SURVEY.md §5.8).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional, Tuple
+
+import jax
+import numpy as np
+
+from nerf_or_nothing_tpu.config import Config, DatasetType
+from nerf_or_nothing_tpu.rays import Rays
+
+
+class RayBatch(Tuple):
+    pass
+
+
+class Dataset:
+    """Base dataset: subclasses fill ``self.images`` [N,H,W,3] float32 in
+    [0,1] and ``self.rays`` (Rays with leaves [N,H,W,C]) in ``_load``."""
+
+    def __init__(self, split: str, data_dir: str, cfg: Config):
+        self.split = split
+        self.data_dir = data_dir
+        self.cfg = cfg
+        self.images: np.ndarray = None  # [N, H, W, 3]
+        self.rays: Rays = None          # leaves [N, H, W, C]
+        self._load()
+        self._flatten()
+        self._rng = np.random.default_rng(
+            cfg.seed + 17 * jax.process_index() + (0 if split == "train" else 1)
+        )
+        self._queue: "queue.Queue" = queue.Queue(maxsize=4)
+        self._thread: Optional[threading.Thread] = None
+
+    # -- subclass API -------------------------------------------------------
+    def _load(self) -> None:
+        raise NotImplementedError
+
+    # -- internals ----------------------------------------------------------
+    def _flatten(self) -> None:
+        """Flatten [N,H,W,...] to a pixel pool, striped across hosts."""
+        n, h, w = self.images.shape[:3]
+        self.num_images, self.height, self.width = n, h, w
+        flat_rays = Rays(*[np.asarray(x).reshape(n * h * w, -1)
+                           for x in self.rays])
+        flat_pixels = self.images.reshape(n * h * w, 3)
+        # Per-host stripe (process p takes indices p, p+P, p+2P, ...).
+        p, num_p = jax.process_index(), jax.process_count()
+        if num_p > 1:
+            flat_rays = Rays(*[x[p::num_p] for x in flat_rays])
+            flat_pixels = flat_pixels[p::num_p]
+        self._flat_rays = flat_rays
+        self._flat_pixels = flat_pixels
+        self.pool_size = flat_pixels.shape[0]
+
+    def _sample_batch(self) -> Tuple[Rays, np.ndarray]:
+        idx = self._rng.integers(0, self.pool_size, size=(self.cfg.batch_size,))
+        rays = Rays(*[x[idx] for x in self._flat_rays])
+        return rays, self._flat_pixels[idx]
+
+    # -- public API ---------------------------------------------------------
+    def __iter__(self) -> Iterator[Tuple[Rays, np.ndarray]]:
+        return self
+
+    def __next__(self) -> Tuple[Rays, np.ndarray]:
+        """Next training batch, produced by a background prefetch thread
+        (the reference's Peek/Next one-batch lookahead, BinDataset.cs:17-25,
+        generalized)."""
+        if self._thread is None:
+            self._thread = threading.Thread(target=self._worker, daemon=True)
+            self._thread.start()
+        return self._queue.get()
+
+    def _worker(self) -> None:
+        while True:
+            self._queue.put(self._sample_batch())
+
+    def peek(self) -> Tuple[Rays, np.ndarray]:
+        """A batch without consuming the stream (deterministic preview)."""
+        rng_state = self._rng.bit_generator.state
+        batch = self._sample_batch()
+        self._rng.bit_generator.state = rng_state
+        return batch
+
+    def image_rays(self, index: int) -> Tuple[Rays, np.ndarray]:
+        """Full ray grid + ground truth for one image (test/eval split)."""
+        rays = Rays(*[np.asarray(x[index]).reshape(-1, x.shape[-1])
+                      for x in self.rays])
+        return rays, self.images[index].reshape(-1, 3)
+
+
+def create_dataset(split: str, data_dir: str, cfg: Config) -> Dataset:
+    """DatasetFactory.CreateDataset (Dataset.cs:18-30)."""
+    from nerf_or_nothing_tpu.datasets import bin_dump, blender, llff, multicam
+
+    loaders = {
+        DatasetType.BLENDER: blender.Blender,
+        DatasetType.LLFF: llff.LLFF,
+        DatasetType.MULTICAM: multicam.Multicam,
+        DatasetType.BIN: bin_dump.BinDataset,
+    }
+    return loaders[cfg.dataset_loader](split, data_dir, cfg)

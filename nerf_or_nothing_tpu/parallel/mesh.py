@@ -1,0 +1,99 @@
+"""Device mesh setup and sharded training step.
+
+Everything here is new TPU-native design — the reference is strictly
+single-GPU/single-process (one ``cudaSetDevice(0)``,
+``AcceleratedMipNeRF.cpp:10``; no NCCL/MPI anywhere — SURVEY.md §2.11).
+
+Design (SURVEY.md §5.8, BASELINE north star):
+- one global ``Mesh`` with a single ``'batch'`` (data) axis over all chips —
+  the ~494k-param (2 MB) model makes pure data parallelism optimal; ICI
+  within a slice, DCN across slices;
+- rays + target pixels sharded ``P('batch')``; params + Adam state
+  replicated ``P()``;
+- the train step runs under ``shard_map`` so the gradient all-reduce is an
+  explicit per-step ``psum`` over ICI that XLA's latency-hiding scheduler
+  overlaps with the remaining backward;
+- multi-host: ``jax.distributed.initialize`` + per-host data striping
+  (each process feeds its local devices its own ray stripe;
+  ``make_array_from_process_local_data`` assembles the global batch).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from nerf_or_nothing_tpu.config import Config
+from nerf_or_nothing_tpu.rays import Rays
+from nerf_or_nothing_tpu.train import TrainState, make_train_step
+
+BATCH_AXIS = "batch"
+
+
+def create_mesh(num_devices: Optional[int] = None) -> Mesh:
+    """1-D data-parallel mesh over (a prefix of) all global devices."""
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (BATCH_AXIS,))
+
+
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """``jax.distributed.initialize`` wrapper (no-op in single-process runs)."""
+    if num_processes is not None and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+
+
+def shard_batch(mesh: Mesh, rays: Rays, pixels) -> tuple:
+    """Place a (host-local) batch onto the mesh, sharded over 'batch'.
+
+    In multi-host runs each process passes its local stripe;
+    ``make_array_from_process_local_data`` assembles the global array.
+    """
+    sharding = NamedSharding(mesh, P(BATCH_AXIS))
+    if jax.process_count() > 1:
+        put = partial(jax.make_array_from_process_local_data, sharding)
+    else:
+        put = partial(jax.device_put, device=sharding)
+    return Rays(*[put(np.asarray(x)) for x in rays]), put(np.asarray(pixels))
+
+
+def replicate_state(mesh: Mesh, state: TrainState) -> TrainState:
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), state)
+
+
+def make_sharded_train_step(cfg: Config, mesh: Mesh, mlp_apply=None):
+    """The distributed train step: data-parallel shard_map + psum on ICI.
+
+    Returns fn(state, rays, pixels) -> (state, stats); params/opt-state
+    replicated, batch sharded, gradients pmean'd over the 'batch' axis
+    inside the backward (overlappable by the XLA scheduler), stats pmean'd.
+    """
+    step_fn = make_train_step(cfg, mlp_apply=mlp_apply, axis_name=BATCH_AXIS)
+
+    # Pytree-prefix specs: the whole state is replicated, the whole batch is
+    # sharded along its leading (ray) dimension.
+    sharded = jax.shard_map(
+        step_fn,
+        mesh=mesh,
+        in_specs=(P(), P(BATCH_AXIS), P(BATCH_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(
+        sharded, donate_argnums=(0,) if cfg.donate_params else ()
+    )

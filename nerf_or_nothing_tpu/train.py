@@ -1,0 +1,174 @@
+"""Training: hand-rolled Adam, LR schedule, jit'd train step, train loop.
+
+TPU-native equivalent of the reference training stack:
+
+- ``adam_update``  <- the fused ``adam_optimizer_step`` CUDA kernel
+  (accelerated_functions.cu:403-416): m/v EMA + bias-corrected step with the
+  reference's exact epsilon placement ``lr * m_hat / sqrt(v_hat + eps)``;
+  betas/eps from AcceleratedAdamOptimizer.h:16-19.
+- ``train_step``   <- Program.TrainStep + AcceleratedMipNeRF.GetGradient
+  (Program.cs:48-62, AcceleratedMipNeRF.cpp:52-144): one jit'd
+  loss -> grad -> (clip) -> psum -> adam with donated params — zero host
+  round-trips per step (the reference H2D-copies 6 ray arrays and syncs after
+  every kernel launch).
+- ``TrainState``   <- TrainState.cs (plus the optimizer state the reference
+  keeps in raw device buffers).
+- grad clipping and weight decay implement the reference's declared-but-dead
+  ``GradMaxNorm`` / ``GradMaxVal`` / ``WeightDecayMult`` flags
+  (TrainState.cs:58-64) as working features.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nerf_or_nothing_tpu.config import Config
+from nerf_or_nothing_tpu.metrics import Stats
+from nerf_or_nothing_tpu.models import mipnerf, mlp as mlp_lib
+from nerf_or_nothing_tpu.ops.math_utils import learning_rate_decay, mse_to_psnr
+from nerf_or_nothing_tpu.rays import Rays
+
+
+class TrainState(NamedTuple):
+    """step + params + Adam moments + PRNG key (SURVEY.md §5.4)."""
+
+    step: jnp.ndarray
+    params: Any
+    mu: Any          # first moment (m)
+    nu: Any          # second moment (v)
+    key: jax.Array
+
+
+def init_train_state(cfg: Config, key: Optional[jax.Array] = None) -> TrainState:
+    key = jax.random.PRNGKey(cfg.seed) if key is None else key
+    pkey, skey = jax.random.split(key)
+    params = mlp_lib.init_mlp(pkey, cfg)
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        mu=zeros,
+        nu=jax.tree.map(jnp.zeros_like, params),
+        key=skey,
+    )
+
+
+def adam_update(params, grads, mu, nu, lr, step, cfg: Config):
+    """Fused Adam, reference math (accelerated_functions.cu:403-416).
+
+    p -= lr * (m/(1-b1^t)) / sqrt(v/(1-b2^t) + eps), eps inside the sqrt
+    exactly as the reference kernel computes ``rsqrtf(vHat + 1e-8f)``.
+    """
+    b1, b2, eps = cfg.adam_beta1, cfg.adam_beta2, cfg.adam_eps
+    t = step.astype(jnp.float32)
+    c1 = 1.0 / (1.0 - b1**t)
+    c2 = 1.0 / (1.0 - b2**t)
+
+    new_mu = jax.tree.map(lambda m, g: b1 * m + (1.0 - b1) * g, mu, grads)
+    new_nu = jax.tree.map(lambda v, g: b2 * v + (1.0 - b2) * g * g, nu, grads)
+    new_params = jax.tree.map(
+        lambda p, m, v: p - lr * (m * c1) * jax.lax.rsqrt(v * c2 + eps),
+        params, new_mu, new_nu,
+    )
+    return new_params, new_mu, new_nu
+
+
+def clip_grads(grads, cfg: Config):
+    """Value + norm clipping (the dead TrainState.cs:58-59 flags, working)."""
+    if cfg.grad_max_val > 0:
+        grads = jax.tree.map(
+            lambda g: jnp.clip(g, -cfg.grad_max_val, cfg.grad_max_val), grads
+        )
+    grad_norm = jnp.sqrt(
+        sum(jnp.sum(g**2) for g in jax.tree.leaves(grads))
+    )
+    if cfg.grad_max_norm > 0:
+        mult = jnp.minimum(1.0, cfg.grad_max_norm / (1e-10 + grad_norm))
+        grads = jax.tree.map(lambda g: g * mult, grads)
+    clipped_norm = jnp.minimum(
+        grad_norm,
+        grad_norm if cfg.grad_max_norm <= 0 else cfg.grad_max_norm,
+    )
+    return grads, grad_norm, clipped_norm
+
+
+def make_train_step(cfg: Config, mlp_apply=None, axis_name: Optional[str] = None):
+    """Build the (un-jitted) train step; see ``parallel/`` for sharded wrap.
+
+    Returns fn(state, rays, pixels) -> (new_state, Stats). When ``axis_name``
+    is set, gradients and scalar stats are psum/pmean'd over that mesh axis
+    (the 2 MB gradient all-reduce rides ICI; XLA's latency-hiding scheduler
+    overlaps it with the remaining backward).
+    """
+
+    def loss_fn(params, key, rays: Rays, pixels):
+        results = mipnerf.render_rays(
+            params, cfg, key, rays,
+            randomized=cfg.randomized,
+            white_bkgd=cfg.white_bkgd,
+            mlp_apply=mlp_apply,
+        )
+        total, level_losses = mipnerf.multiscale_loss(
+            results, pixels, rays.loss_mult, cfg
+        )
+        if cfg.weight_decay_mult > 0:
+            wl2 = sum(jnp.sum(w**2) for w, _ in params)
+            total = total + cfg.weight_decay_mult * wl2
+        else:
+            wl2 = jnp.zeros(())
+        return total, (level_losses, results[-1].rgb, wl2)
+
+    def train_step(state: TrainState, rays: Rays, pixels: jnp.ndarray):
+        key, step_key = jax.random.split(state.key)
+        if axis_name is not None:
+            # Decorrelate sampling jitter across shards (SURVEY.md §7 "PRNG
+            # discipline"): each chip folds its mesh position into the key.
+            step_key = jax.random.fold_in(
+                step_key, jax.lax.axis_index(axis_name)
+            )
+        step = state.step + 1
+        lr = learning_rate_decay(
+            step, cfg.lr_init, cfg.lr_final, cfg.max_steps,
+            cfg.lr_delay_steps, cfg.lr_delay_mult,
+        )
+        (loss, (level_losses, fine_rgb, wl2)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, step_key, rays, pixels)
+
+        if axis_name is not None:
+            grads = jax.lax.pmean(grads, axis_name)
+            loss = jax.lax.pmean(loss, axis_name)
+            level_losses = jax.lax.pmean(level_losses, axis_name)
+
+        grads, grad_norm, clipped_norm = clip_grads(grads, cfg)
+        grad_abs_max = jnp.max(
+            jnp.asarray([jnp.max(jnp.abs(g)) for g in jax.tree.leaves(grads)])
+        )
+        params, mu, nu = adam_update(
+            state.params, grads, state.mu, state.nu, lr, step, cfg
+        )
+        psnr = mse_to_psnr(jnp.mean((fine_rgb - pixels) ** 2))
+        stats = Stats(
+            loss=loss,
+            losses=level_losses,
+            weight_l2=wl2,
+            psnr=psnr,
+            psnrs=mse_to_psnr(level_losses),
+            grad_norm=grad_norm,
+            grad_abs_max=grad_abs_max,
+            grad_norm_clipped=clipped_norm,
+            learning_rate=lr,
+        )
+        return TrainState(step, params, mu, nu, key), stats
+
+    return train_step
+
+
+def make_jitted_train_step(cfg: Config, mlp_apply=None):
+    """Single-device jit with donated state (fast path for 1 chip)."""
+    step_fn = make_train_step(cfg, mlp_apply=mlp_apply)
+    return jax.jit(step_fn, donate_argnums=(0,) if cfg.donate_params else ())

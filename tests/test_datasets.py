@@ -1,0 +1,149 @@
+"""Dataset loaders: synthesized fixtures on disk, batching, bin roundtrip."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from nerf_or_nothing_tpu.config import Config, DatasetType
+from nerf_or_nothing_tpu.datasets import bin_dump
+from nerf_or_nothing_tpu.datasets.base import create_dataset
+from nerf_or_nothing_tpu.rays import Rays
+
+
+def write_blender_scene(root, n_frames=3, size=16):
+    """Minimal Blender-format scene: RGBA PNGs + transforms_{split}.json."""
+    from PIL import Image
+
+    os.makedirs(os.path.join(root, "train"), exist_ok=True)
+    rng = np.random.default_rng(0)
+    frames = []
+    for i in range(n_frames):
+        img = (rng.uniform(0, 255, size=(size, size, 4))).astype(np.uint8)
+        img[..., 3] = 255
+        Image.fromarray(img, "RGBA").save(
+            os.path.join(root, "train", f"r_{i}.png")
+        )
+        theta = 2 * np.pi * i / n_frames
+        c2w = np.eye(4)
+        c2w[:3, 3] = [4 * np.cos(theta), 4 * np.sin(theta), 0.5]
+        frames.append(
+            {"file_path": f"train/r_{i}", "transform_matrix": c2w.tolist()}
+        )
+    meta = {"camera_angle_x": 0.6911, "frames": frames}
+    for split in ("train", "test"):
+        with open(os.path.join(root, f"transforms_{split}.json"), "w") as f:
+            json.dump(meta, f)
+
+
+@pytest.fixture(scope="module")
+def blender_dir(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("blender"))
+    write_blender_scene(root)
+    return root
+
+
+def test_blender_loader(blender_dir):
+    cfg = Config(
+        dataset_loader=DatasetType.BLENDER, data_dir=blender_dir,
+        batch_size=32,
+    )
+    ds = create_dataset("train", blender_dir, cfg)
+    assert ds.images.shape == (3, 16, 16, 3)
+    assert ds.rays.origins.shape == (3, 16, 16, 3)
+    # viewdirs normalized
+    n = np.linalg.norm(ds.rays.viewdirs, axis=-1)
+    np.testing.assert_allclose(n, 1.0, rtol=1e-5)
+    # radii positive and of pixel-footprint magnitude
+    assert (ds.rays.radii > 0).all()
+    rays, pixels = next(ds)
+    assert pixels.shape == (32, 3)
+    assert rays.origins.shape == (32, 3)
+
+
+def test_blender_batches_are_random_but_seeded(blender_dir):
+    cfg = Config(dataset_loader=DatasetType.BLENDER, batch_size=16, seed=7)
+    ds1 = create_dataset("train", blender_dir, cfg)
+    ds2 = create_dataset("train", blender_dir, cfg)
+    r1, p1 = ds1.peek()
+    r2, p2 = ds2.peek()
+    np.testing.assert_array_equal(p1, p2)
+    np.testing.assert_array_equal(r1.origins, r2.origins)
+
+
+def test_image_rays_roundtrip(blender_dir):
+    cfg = Config(dataset_loader=DatasetType.BLENDER, batch_size=16)
+    ds = create_dataset("test", blender_dir, cfg)
+    rays, gt = ds.image_rays(0)
+    assert rays.origins.shape == (16 * 16, 3)
+    assert gt.shape == (16 * 16, 3)
+
+
+def test_bin_dump_roundtrip(tmp_path):
+    """write_bin_dump -> BinDataset reproduces the 64-byte record format of
+    BinDataset.cs:40-49 bit-exactly."""
+    rng = np.random.default_rng(1)
+    n = 100
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    rays = Rays(
+        rng.normal(size=(n, 3)).astype(np.float32),
+        d,
+        (d / np.linalg.norm(d, axis=-1, keepdims=True)).astype(np.float32),
+        rng.uniform(0.001, 0.01, size=(n, 1)).astype(np.float32),
+        np.full((n, 1), 2.0, np.float32),
+        np.full((n, 1), 6.0, np.float32),
+        np.ones((n, 1), np.float32),
+    )
+    pixels = rng.uniform(size=(n, 3)).astype(np.float32)
+    path = str(tmp_path / "rays.bin")
+    bin_dump.write_bin_dump(path, rays, pixels)
+    assert os.path.getsize(path) == n * 64
+
+    cfg = Config(dataset_loader=DatasetType.BIN, batch_size=16)
+    ds = create_dataset("train", path, cfg)
+    assert ds.pool_size == n
+    np.testing.assert_array_equal(
+        ds._flat_rays.origins, rays.origins
+    )
+    np.testing.assert_array_equal(ds._flat_pixels, pixels)
+    batch_rays, batch_pixels = next(ds)
+    assert batch_pixels.shape == (16, 3)
+
+
+def test_multicam_synthesized(blender_dir):
+    cfg = Config(dataset_loader=DatasetType.MULTICAM, batch_size=8)
+    ds = create_dataset("train", blender_dir, cfg)
+    # 3 frames x 4 scales; pool = sum of 16^2 + 8^2 + 4^2 + 2^2 per frame
+    expected = 3 * (256 + 64 + 16 + 4)
+    assert ds.pool_size == expected
+    # area weights present: lossmult in {1,4,16,64}
+    lm = np.unique(ds._flat_rays.loss_mult)
+    np.testing.assert_array_equal(lm, [1.0, 4.0, 16.0, 64.0])
+    rays, pixels = next(ds)
+    assert pixels.shape == (8, 3)
+
+
+def test_train_on_blender_smoke(blender_dir):
+    """End-to-end: dataset -> train step -> finite loss."""
+    import jax.numpy as jnp
+
+    from nerf_or_nothing_tpu.config import tiny_config
+    from nerf_or_nothing_tpu.train import (
+        init_train_state,
+        make_jitted_train_step,
+    )
+
+    cfg = tiny_config(
+        batch_size=16, num_samples=8, net_depth=2, net_width=16,
+        net_width_condition=8, max_deg_point=4,
+        dataset_loader=DatasetType.BLENDER,
+    )
+    ds = create_dataset("train", blender_dir, cfg)
+    state = init_train_state(cfg)
+    step = make_jitted_train_step(cfg)
+    rays, pixels = next(ds)
+    state, stats = step(
+        state, Rays(*[jnp.asarray(x) for x in rays]), jnp.asarray(pixels)
+    )
+    assert np.isfinite(float(stats.loss))

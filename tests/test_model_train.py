@@ -1,0 +1,249 @@
+"""Model forward, loss, optimizer, LR schedule, and overfit tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import reference_oracle as oracle
+from nerf_or_nothing_tpu.config import Config, tiny_config
+from nerf_or_nothing_tpu.models import mipnerf, mlp as mlp_lib
+from nerf_or_nothing_tpu.ops.math_utils import learning_rate_decay
+from nerf_or_nothing_tpu.rays import Rays
+from nerf_or_nothing_tpu.train import (
+    adam_update,
+    init_train_state,
+    make_jitted_train_step,
+)
+
+
+def make_rays(R, seed=0):
+    rng = np.random.default_rng(seed)
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    vd = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    ones = np.ones((R, 1), np.float32)
+    return Rays(
+        jnp.zeros((R, 3)), jnp.asarray(d), jnp.asarray(vd),
+        jnp.asarray(ones * 0.005), jnp.asarray(ones * 2.0),
+        jnp.asarray(ones * 6.0), jnp.asarray(ones),
+    )
+
+
+def test_mlp_layer_dims_match_reference():
+    """Default dims must be the reference's (AcceleratedMLP.cpp:173-193):
+    w0[96,256]; w1..3,w5..7[256,256]; w4[352,256] skip; density[256,1];
+    view[283,128]; rgb[128,3] — ~494k params."""
+    cfg = Config()
+    dims = mlp_lib.layer_dims(cfg)
+    assert dims[0] == (96, 256)
+    assert dims[4] == (256 + 96, 256)
+    for i in (1, 2, 3, 5, 6, 7):
+        assert dims[i] == (256, 256)
+    assert dims[8] == (256, 1)
+    assert dims[9] == (256 + 27, 128)
+    assert dims[10] == (128, 3)
+    n = mlp_lib.num_params(cfg)
+    expected = (
+        96 * 256 + 256
+        + 6 * (256 * 256 + 256)
+        + 352 * 256 + 256
+        + 256 * 1 + 1
+        + 283 * 128 + 128
+        + 128 * 3 + 3
+    )
+    assert n == expected, (n, expected)
+
+
+def test_mlp_flat_roundtrip():
+    cfg = tiny_config()
+    params = mlp_lib.init_mlp(jax.random.PRNGKey(0), cfg)
+    flat = mlp_lib.export_flat(params)
+    assert flat.size == mlp_lib.num_params(cfg)
+    back = mlp_lib.import_flat(flat, cfg)
+    for (w0, b0), (w1, b1) in zip(params, back):
+        np.testing.assert_array_equal(w0, w1)
+        np.testing.assert_array_equal(b0, b1)
+
+
+def test_mlp_skip_connection_uses_input():
+    """Zeroing the skip-concat columns of layer 4 must change the output
+    (i.e. the raw encoded input genuinely reaches layer skip_layer)."""
+    cfg = Config(net_depth=8, net_width=32, net_width_condition=16,
+                 max_deg_point=4, use_pallas=False)
+    params = mlp_lib.init_mlp(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, cfg.location_features))
+    d = jax.random.normal(jax.random.PRNGKey(2), (2, cfg.direction_features))
+    out1, _ = mlp_lib.apply_mlp(params, cfg, x, d)
+    w4, b4 = params[4]
+    params2 = list(params)
+    params2[4] = (w4.at[cfg.net_width:, :].set(0.0), b4)
+    out2, _ = mlp_lib.apply_mlp(params2, cfg, x, d)
+    assert not np.allclose(out1, out2)
+
+
+def test_render_rays_shapes_and_levels():
+    cfg = tiny_config(num_levels=2, num_samples=16, batch_size=8)
+    params = mlp_lib.init_mlp(jax.random.PRNGKey(0), cfg)
+    rays = make_rays(8)
+    results = mipnerf.render_rays(
+        params, cfg, jax.random.PRNGKey(1), rays,
+        randomized=True, white_bkgd=True,
+    )
+    assert len(results) == 2
+    for res in results:
+        assert res.rgb.shape == (8, 3)
+        assert res.distance.shape == (8,)
+        assert res.acc.shape == (8,)
+        assert res.weights.shape == (8, 16)
+        assert bool(jnp.all(jnp.isfinite(res.rgb)))
+
+
+def test_rgb_padding_range():
+    """Activated rgb must lie in [-p, 1+p] (MipNerfModel.cs:82)."""
+    cfg = tiny_config(num_samples=8)
+    params = mlp_lib.init_mlp(jax.random.PRNGKey(3), cfg)
+    rays = make_rays(16)
+    results = mipnerf.render_rays(
+        params, cfg, jax.random.PRNGKey(1), rays,
+        randomized=False, white_bkgd=False,
+    )
+    # composite of per-sample rgb in [-p, 1+p] weighted by weights<=1
+    assert bool(jnp.all(results[-1].rgb >= -cfg.rgb_padding - 1e-5))
+    assert bool(jnp.all(results[-1].rgb <= 1.0 + cfg.rgb_padding + 1e-5))
+
+
+def test_multiscale_loss_coarse_weighting():
+    cfg = tiny_config(coarse_loss_mult=0.1)
+    from nerf_or_nothing_tpu.ops.render import RenderResult
+
+    R = 4
+    pixels = jnp.zeros((R, 3))
+    mk = lambda v: RenderResult(
+        jnp.full((R, 3), v), jnp.zeros((R,)), jnp.zeros((R,)),
+        jnp.zeros((R, 2)),
+    )
+    total, losses = mipnerf.multiscale_loss(
+        [mk(1.0), mk(2.0)], pixels, jnp.ones((R, 1)), cfg
+    )
+    np.testing.assert_allclose(losses, [3.0, 12.0], rtol=1e-6)
+    np.testing.assert_allclose(total, 0.1 * 3.0 + 12.0, rtol=1e-6)
+
+
+def test_multiscale_loss_mask_weights():
+    cfg = tiny_config()
+    from nerf_or_nothing_tpu.ops.render import RenderResult
+
+    pixels = jnp.zeros((2, 3))
+    res = RenderResult(
+        jnp.stack([jnp.ones(3), 2 * jnp.ones(3)]),
+        jnp.zeros(2), jnp.zeros(2), jnp.zeros((2, 2)),
+    )
+    lm = jnp.asarray([[1.0], [3.0]])
+    total, _ = mipnerf.multiscale_loss([res], pixels, lm, cfg)
+    # (1*3 + 3*12) / 4
+    np.testing.assert_allclose(total, (3.0 + 36.0) / 4.0, rtol=1e-6)
+    # disable_multiscale_loss forces mask = 1
+    cfg2 = cfg.replace(disable_multiscale_loss=True)
+    total2, _ = mipnerf.multiscale_loss([res], pixels, lm, cfg2)
+    np.testing.assert_allclose(total2, (3.0 + 12.0) / 2.0, rtol=1e-6)
+
+
+def test_adam_matches_reference_kernel():
+    """adam_update vs the scalar transcription of adam_optimizer_step
+    (accelerated_functions.cu:403-416)."""
+    cfg = Config()
+    rng = np.random.default_rng(0)
+    p = rng.normal(size=(7,)).astype(np.float32)
+    g = rng.normal(size=(7,)).astype(np.float32)
+    m = rng.normal(size=(7,)).astype(np.float32) * 0.1
+    v = np.abs(rng.normal(size=(7,))).astype(np.float32) * 0.1
+    lr = 3e-4
+    for t in (1, 2, 10):
+        ours = adam_update(
+            [(jnp.asarray(p), jnp.zeros(1))],
+            [(jnp.asarray(g), jnp.zeros(1))],
+            [(jnp.asarray(m), jnp.zeros(1))],
+            [(jnp.asarray(v), jnp.zeros(1))],
+            lr, jnp.asarray(t), cfg,
+        )
+        p_ref, m_ref, v_ref = oracle.adam_step(
+            p.astype(np.float64), g, m.astype(np.float64),
+            v.astype(np.float64), lr, t,
+        )
+        np.testing.assert_allclose(ours[0][0][0], p_ref, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(ours[1][0][0], m_ref, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(ours[2][0][0], v_ref, rtol=1e-5, atol=1e-6)
+
+
+def test_learning_rate_decay_matches_oracle():
+    for step in (0, 1, 100, 2500, 10_000, 500_000, 1_000_000):
+        ours = float(learning_rate_decay(step, 5e-4, 5e-6, 1_000_000,
+                                         2500, 0.01))
+        ref = oracle.learning_rate_decay(step, 5e-4, 5e-6, 1_000_000,
+                                         2500, 0.01)
+        np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+
+def test_grad_clipping():
+    from nerf_or_nothing_tpu.train import clip_grads
+
+    g = [(jnp.full((4,), 10.0), jnp.full((2,), -10.0))]
+    cfg = Config(grad_max_val=1.0)
+    clipped, norm, _ = clip_grads(g, cfg)
+    assert bool(jnp.all(jnp.abs(clipped[0][0]) <= 1.0))
+    cfg2 = Config(grad_max_norm=1.0)
+    clipped2, norm2, cn2 = clip_grads(g, cfg2)
+    total = jnp.sqrt(sum(jnp.sum(x**2) for x in jax.tree.leaves(clipped2)))
+    np.testing.assert_allclose(total, 1.0, rtol=1e-4)
+
+
+def test_weight_decay_changes_gradient():
+    cfg = tiny_config(num_samples=8, batch_size=4, weight_decay_mult=0.0)
+    cfg_wd = cfg.replace(weight_decay_mult=0.1)
+    rays = make_rays(4)
+    pixels = jnp.full((4, 3), 0.5)
+    s0 = init_train_state(cfg)
+    step_a = make_jitted_train_step(cfg)
+    step_b = make_jitted_train_step(cfg_wd)
+    sa, _ = step_a(s0, rays, pixels)
+    sb, _ = step_b(init_train_state(cfg_wd), rays, pixels)
+    diffs = [
+        float(jnp.max(jnp.abs(wa - wb)))
+        for (wa, _), (wb, _) in zip(sa.params, sb.params)
+    ]
+    assert max(diffs) > 0
+
+
+def test_overfit_tiny_batch():
+    """BASELINE config 1 spirit: loss must fall sharply when overfitting a
+    fixed tiny batch (golden convergence check, SURVEY.md §4)."""
+    cfg = tiny_config(
+        batch_size=32, num_samples=16, net_depth=2, net_width=32,
+        net_width_condition=16, max_deg_point=6, randomized=False,
+        lr_delay_steps=0, lr_init=5e-3, lr_final=5e-3, max_steps=1000,
+    )
+    state = init_train_state(cfg)
+    rays = make_rays(32)
+    pixels = jax.random.uniform(jax.random.PRNGKey(5), (32, 3),
+                                minval=0.2, maxval=0.8)
+    step = make_jitted_train_step(cfg)
+    first = None
+    for i in range(150):
+        state, stats = step(state, rays, pixels)
+        if first is None:
+            first = float(stats.loss)
+    last = float(stats.loss)
+    assert last < first * 0.25, (first, last)
+
+
+def test_train_step_determinism():
+    cfg = tiny_config(batch_size=8, num_samples=8, net_depth=2, net_width=16,
+                      net_width_condition=8, max_deg_point=4)
+    rays = make_rays(8)
+    pixels = jnp.full((8, 3), 0.3)
+    step = make_jitted_train_step(cfg.replace(donate_params=False))
+    s1, st1 = step(init_train_state(cfg), rays, pixels)
+    s2, st2 = step(init_train_state(cfg), rays, pixels)
+    assert float(st1.loss) == float(st2.loss)
+    for (w1, _), (w2, _) in zip(s1.params, s2.params):
+        np.testing.assert_array_equal(w1, w2)

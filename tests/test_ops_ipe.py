@@ -1,0 +1,121 @@
+"""Unit tests: IPE / cone-casting ops vs the scalar reference oracle."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import reference_oracle as oracle
+from nerf_or_nothing_tpu.config import RayShape
+from nerf_or_nothing_tpu.ops import ipe
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def test_expected_sin_matches_oracle(rng):
+    x = rng.normal(size=(64,)) * 3
+    v = rng.uniform(0, 2, size=(64,))
+    y, y_var = ipe.expected_sin(jnp.asarray(x), jnp.asarray(v))
+    y_ref, y_var_ref = oracle.expected_sin(x, v)
+    np.testing.assert_allclose(y, y_ref, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(y_var, y_var_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_expected_sin_zero_var_is_sin():
+    x = jnp.linspace(-3, 3, 16)
+    y, y_var = ipe.expected_sin(x, jnp.zeros_like(x))
+    np.testing.assert_allclose(y, np.sin(x), rtol=1e-6)
+    np.testing.assert_allclose(y_var, 0.0, atol=1e-6)
+
+
+@pytest.mark.parametrize("diag", [True, False])
+def test_lift_gaussian_matches_oracle(rng, diag):
+    d = rng.normal(size=(8, 3))
+    t_mean = rng.uniform(1, 5, size=(8, 4))
+    t_var = rng.uniform(0, 0.5, size=(8, 4))
+    r_var = rng.uniform(0, 0.1, size=(8, 4))
+    mean, cov = ipe.lift_gaussian(
+        jnp.asarray(d), jnp.asarray(t_mean), jnp.asarray(t_var),
+        jnp.asarray(r_var), diag=diag,
+    )
+    for r in range(8):
+        for s in range(4):
+            m_ref, c_ref = oracle.lift_gaussian(
+                d[r], t_mean[r, s], t_var[r, s], r_var[r, s], diag=diag
+            )
+            np.testing.assert_allclose(mean[r, s], m_ref, rtol=1e-5, atol=1e-6)
+            np.testing.assert_allclose(cov[r, s], c_ref, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("shape", ["cone", "cylinder"])
+def test_cast_rays_matches_oracle(rng, shape):
+    R, S = 4, 8
+    t_vals = np.sort(rng.uniform(2, 6, size=(R, S + 1)), axis=-1)
+    origins = rng.normal(size=(R, 3))
+    directions = rng.normal(size=(R, 3))
+    radii = rng.uniform(0.001, 0.01, size=(R, 1))
+    ray_shape = RayShape.CONE if shape == "cone" else RayShape.CYLINDER
+    mean, cov = ipe.cast_rays(
+        jnp.asarray(t_vals), jnp.asarray(origins), jnp.asarray(directions),
+        jnp.asarray(radii), ray_shape,
+    )
+    assert mean.shape == (R, S, 3)
+    for r in range(R):
+        m_ref, c_ref = oracle.cast_ray(
+            t_vals[r], origins[r], directions[r], radii[r, 0], shape
+        )
+        np.testing.assert_allclose(mean[r], m_ref, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(cov[r], c_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_integrated_pos_enc_matches_oracle(rng):
+    R, S = 3, 5
+    min_deg, max_deg = 0, 16
+    mean = rng.normal(size=(R, S, 3))
+    cov = rng.uniform(0, 0.2, size=(R, S, 3))
+    feats = ipe.integrated_pos_enc(
+        (jnp.asarray(mean), jnp.asarray(cov)), min_deg, max_deg
+    )
+    assert feats.shape == (R, S, 2 * (max_deg - min_deg) * 3)
+    for r in range(R):
+        for s in range(S):
+            ref = oracle.integrated_pos_enc(mean[r, s], cov[r, s],
+                                            min_deg, max_deg)
+            np.testing.assert_allclose(
+                feats[r, s], ref, rtol=1e-4, atol=1e-5
+            )
+
+
+def test_ipe_high_freq_attenuation():
+    """Higher variance must attenuate high frequencies more (mip-NeRF's
+    entire point)."""
+    mean = jnp.asarray([[0.3, -0.2, 0.7]])
+    small = ipe.integrated_pos_enc((mean, jnp.full((1, 3), 1e-6)), 0, 8)
+    large = ipe.integrated_pos_enc((mean, jnp.full((1, 3), 1.0)), 0, 8)
+    # magnitude of the top-frequency block shrinks under large variance
+    assert jnp.max(jnp.abs(large[0, -6:])) < 1e-3
+    assert jnp.max(jnp.abs(small[0, -6:])) > 1e-2
+
+
+def test_pos_enc_matches_oracle(rng):
+    x = rng.normal(size=(6, 3))
+    feats = ipe.pos_enc(jnp.asarray(x), 0, 4)
+    assert feats.shape == (6, 3 + 2 * 4 * 3)
+    for i in range(6):
+        np.testing.assert_allclose(
+            feats[i], oracle.pos_enc(x[i], 0, 4), rtol=1e-5, atol=1e-6
+        )
+
+
+def test_conical_frustum_reduces_to_point_at_zero_width(rng):
+    """As t1 -> t0 and radius -> 0, mean -> t0*d and variance -> 0."""
+    d = jnp.asarray([[0.0, 0.0, -1.0]])
+    t0 = jnp.full((1, 1), 3.0)
+    mean, cov = ipe.conical_frustum_to_gaussian(
+        d, t0, t0 + 1e-6, jnp.full((1, 1), 1e-8)
+    )
+    np.testing.assert_allclose(mean[0, 0], [0, 0, -3.0], atol=1e-4)
+    np.testing.assert_allclose(cov[0, 0], 0.0, atol=1e-6)
