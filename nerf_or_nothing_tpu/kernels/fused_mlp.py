@@ -1,0 +1,431 @@
+"""Fused MipNeRF MLP forward + backward as single Pallas TPU kernels.
+
+This is the TPU-native replacement for the reference's CUDA MLP pipeline
+(``AcceleratedNeRFUtils/accelerated_functions.cu:36-182`` — one thread per
+output scalar, 12 kernel launches with a ``cudaDeviceSynchronize`` after each,
+``AcceleratedMLP.cpp:214-314``) re-designed for the MXU instead of translated:
+
+- ONE kernel evaluates all trunk layers, the density head, and the view
+  branch for a tile of (ray, sample) rows; every intermediate activation
+  lives in VMEM — no HBM round-trip between layers (the dominant cost of the
+  unfused XLA path: ~11 x [N,256] tensors through HBM per level).
+- All ~494k parameters (~1 MB bf16) stay resident in VMEM across the whole
+  grid.
+- Matmuls run on the MXU in bf16 with f32 accumulation
+  (``preferred_element_type``); parameter master copies stay f32.
+- The skip concat (MLP.cs:95: input re-concatenated at layer
+  ``skip_layer``) and the view concat (MLP.cs:102-105) are computed as split
+  matmuls — ``concat(h, x) @ W == h @ W_top + x @ W_bot`` — so the
+  concatenated tensor is never materialized (same trick as the reference's
+  ``get_neuron_output_conjoined_inputs`` kernel, accelerated_functions.cu:75,
+  but tiled on the MXU).
+- The backward kernel recomputes activations tile-wise in VMEM (flash-style;
+  residuals for a whole level would be ~700 MB in HBM) and accumulates
+  per-layer dW/db across the row-tile grid in f32 VMEM blocks — TPU grids
+  execute sequentially, so accumulation order is deterministic, unlike the
+  reference's ``atomicAdd`` backward (accelerated_functions.cu:105-181)
+  whose gradients are nondeterministic.
+- Input gradients (d_x_enc, d_dir_enc) are exact and nearly free: the
+  transposed matmuls are already needed to chain dW to earlier layers.
+
+The Adam update is NOT folded in here (the reference fuses it to save kernel
+launches, accelerated_functions.cu:403): under XLA the whole elementwise
+Adam update over 494k params is one fused ~10 us loop — folding it into the
+matmul kernel would buy nothing and force optimizer state through VMEM.
+
+Numerics gate: ``tests/test_kernels_mlp.py`` asserts allclose vs
+``models.mlp.apply_mlp`` (the oracle) for forward and for jax.grad.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from nerf_or_nothing_tpu.config import Config
+from nerf_or_nothing_tpu.models.mlp import Params, layer_dims
+
+# Rows of (ray, sample) pairs processed per grid step.
+DEFAULT_TILE = 512
+
+
+def _mm(a, b, dt):
+    """MXU matmul in compute dtype with f32 accumulation."""
+    return jax.lax.dot_general(
+        a.astype(dt), b.astype(dt),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _forward_tile(cfg: Config, dt, x, d, ws, bs):
+    """Shared fwd math on one row tile; returns (raw_rgb, raw_density, acts).
+
+    acts = list of post-ReLU trunk activations h_0..h_{D-1} plus view-branch
+    activations — everything the backward needs.
+    """
+    D, Dc = cfg.net_depth, cfg.net_depth_condition
+    skip = cfg.skip_layer
+    nw = cfg.net_width
+
+    hs: List[Any] = []
+    h = x
+    for i in range(D):
+        w, b = ws[i], bs[i]
+        if i % skip == 0 and i > 0:
+            # concat(h, x) @ w == h @ w_top + x @ w_bot
+            z = _mm(h, w[:nw, :], dt) + _mm(x, w[nw:, :], dt) + b
+        elif i == 0:
+            z = _mm(x, w, dt) + b
+        else:
+            z = _mm(h, w, dt) + b
+        h = jnp.maximum(z, 0.0)
+        hs.append(h)
+
+    raw_density = _mm(h, ws[D], dt) + bs[D]
+
+    hv = h
+    vs: List[Any] = []
+    for j in range(Dc):
+        w, b = ws[D + 1 + j], bs[D + 1 + j]
+        if j == 0:
+            z = _mm(hv, w[:nw, :], dt) + _mm(d, w[nw:, :], dt) + b
+        else:
+            z = _mm(hv, w, dt) + b
+        hv = jnp.maximum(z, 0.0)
+        vs.append(hv)
+
+    raw_rgb = _mm(hv, ws[D + 1 + Dc], dt) + bs[D + 1 + Dc]
+    return raw_rgb, raw_density, hs, vs
+
+
+def _fwd_kernel(cfg: Config, dt, *refs):
+    n_layers = len(layer_dims(cfg))
+    x_ref, d_ref = refs[0], refs[1]
+    w_refs = refs[2 : 2 + n_layers]
+    b_refs = refs[2 + n_layers : 2 + 2 * n_layers]
+    rgb_ref, den_ref = refs[2 + 2 * n_layers], refs[3 + 2 * n_layers]
+
+    ws = [w[...] for w in w_refs]
+    bs = [b[...] for b in b_refs]
+    raw_rgb, raw_density, _, _ = _forward_tile(
+        cfg, dt, x_ref[...], d_ref[...], ws, bs
+    )
+    rgb_ref[...] = raw_rgb
+    den_ref[...] = raw_density
+
+
+def _bwd_kernel(cfg: Config, dt, *refs):
+    """Recompute-forward + full reverse pass for one row tile.
+
+    Grid-step accumulation: dW/db out blocks have a constant index map, so
+    they stay in VMEM across the sequential grid; step 0 initializes, later
+    steps add (deterministic — SURVEY.md §5.2).
+    """
+    n_layers = len(layer_dims(cfg))
+    D, Dc = cfg.net_depth, cfg.net_depth_condition
+    skip = cfg.skip_layer
+    nw = cfg.net_width
+
+    x_ref, d_ref, grgb_ref, gden_ref = refs[:4]
+    w_refs = refs[4 : 4 + n_layers]
+    b_refs = refs[4 + n_layers : 4 + 2 * n_layers]
+    out = refs[4 + 2 * n_layers :]
+    dw_refs = out[:n_layers]
+    db_refs = out[n_layers : 2 * n_layers]
+    dx_ref, dd_ref = out[2 * n_layers], out[2 * n_layers + 1]
+
+    x = x_ref[...]
+    d = d_ref[...]
+    ws = [w[...] for w in w_refs]
+    bs = [b[...] for b in b_refs]
+
+    _, _, hs, vs = _forward_tile(cfg, dt, x, d, ws, bs)
+
+    is_first = pl.program_id(0) == 0
+
+    def acc(ref, val):
+        @pl.when(is_first)
+        def _():
+            ref[...] = val
+
+        @pl.when(jnp.logical_not(is_first))
+        def _():
+            ref[...] = ref[...] + val
+
+    g_rgb = grgb_ref[...]
+    g_den = gden_ref[...]
+
+    # ---- rgb head ----
+    i_rgb = D + 1 + Dc
+    hv_last = vs[-1]
+    acc(dw_refs[i_rgb], _mm(hv_last.T, g_rgb, dt))
+    acc(db_refs[i_rgb], jnp.sum(g_rgb, axis=0, keepdims=True))
+    g = _mm(g_rgb, ws[i_rgb].T, dt)
+
+    # ---- view branch reversed ----
+    g_d = None
+    for j in range(Dc - 1, -1, -1):
+        i = D + 1 + j
+        g = g * (vs[j] > 0.0)
+        h_in = vs[j - 1] if j > 0 else hs[-1]
+        if j == 0:
+            # dW for a concat layer: stack the two input blocks' grads.
+            acc(
+                dw_refs[i],
+                jnp.concatenate(
+                    [_mm(h_in.T, g, dt), _mm(d.T, g, dt)], axis=0
+                ),
+            )
+            acc(db_refs[i], jnp.sum(g, axis=0, keepdims=True))
+            g_d = _mm(g, ws[i][nw:, :].T, dt)
+            g = _mm(g, ws[i][:nw, :].T, dt)
+        else:
+            acc(dw_refs[i], _mm(h_in.T, g, dt))
+            acc(db_refs[i], jnp.sum(g, axis=0, keepdims=True))
+            g = _mm(g, ws[i].T, dt)
+
+    # ---- density head joins the trunk gradient (MLP.cs:148-153) ----
+    acc(dw_refs[D], _mm(hs[-1].T, g_den, dt))
+    acc(db_refs[D], jnp.sum(g_den, axis=0, keepdims=True))
+    g = g + _mm(g_den, ws[D].T, dt)
+
+    # ---- trunk reversed ----
+    g_x = jnp.zeros_like(x)
+    for i in range(D - 1, -1, -1):
+        g = g * (hs[i] > 0.0)
+        h_in = hs[i - 1] if i > 0 else x
+        if i % skip == 0 and i > 0:
+            acc(
+                dw_refs[i],
+                jnp.concatenate(
+                    [_mm(h_in.T, g, dt), _mm(x.T, g, dt)], axis=0
+                ),
+            )
+            acc(db_refs[i], jnp.sum(g, axis=0, keepdims=True))
+            g_x = g_x + _mm(g, ws[i][nw:, :].T, dt)
+            g = _mm(g, ws[i][:nw, :].T, dt)
+        else:
+            acc(dw_refs[i], _mm(h_in.T, g, dt))
+            acc(db_refs[i], jnp.sum(g, axis=0, keepdims=True))
+            g = _mm(g, ws[i].T, dt)
+    g_x = g_x + g  # layer 0's input IS x
+
+    dx_ref[...] = g_x
+    dd_ref[...] = g_d
+
+
+def _pad_rows(a: jnp.ndarray, tile: int) -> jnp.ndarray:
+    n = a.shape[0]
+    pad = (-n) % tile
+    if pad:
+        a = jnp.concatenate(
+            [a, jnp.zeros((pad, *a.shape[1:]), a.dtype)], axis=0
+        )
+    return a
+
+
+def _weight_specs(cfg: Config):
+    dims = layer_dims(cfg)
+    w_specs = [
+        pl.BlockSpec((i, o), lambda *_: (0, 0), memory_space=pltpu.VMEM)
+        for i, o in dims
+    ]
+    b_specs = [
+        pl.BlockSpec((1, o), lambda *_: (0, 0), memory_space=pltpu.VMEM)
+        for _, o in dims
+    ]
+    return dims, w_specs, b_specs
+
+
+def _interpret() -> bool:
+    """Interpret mode off-TPU so the same tests run on the CPU mesh.
+
+    'axon' is a tunneled TPU PJRT platform — compiled Mosaic works there.
+    """
+    return jax.default_backend() not in ("tpu", "axon")
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tile"))
+def _fused_mlp_fwd_impl(params, x, d, *, cfg: Config, tile: int):
+    n = x.shape[0]
+    dims, w_specs, b_specs = _weight_specs(cfg)
+    dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    xp = _pad_rows(x, tile)
+    dp = _pad_rows(d, tile)
+    n_pad = xp.shape[0]
+    grid = (n_pad // tile,)
+
+    in_specs = [
+        pl.BlockSpec((tile, x.shape[1]), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, d.shape[1]), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        *w_specs,
+        *b_specs,
+    ]
+    out_specs = [
+        pl.BlockSpec((tile, cfg.num_rgb_channels), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, cfg.num_density_channels), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    flops_rows = 2 * sum(i * o for i, o in dims)
+    raw_rgb, raw_den = pl.pallas_call(
+        functools.partial(_fwd_kernel, cfg, dt),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_pad, cfg.num_rgb_channels), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad, cfg.num_density_channels),
+                                 jnp.float32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=flops_rows * n_pad,
+            bytes_accessed=n_pad * (x.shape[1] + d.shape[1] + 4) * 4,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(
+        xp, dp,
+        *[w for w, _ in params],
+        *[b.reshape(1, -1) for _, b in params],
+    )
+    return raw_rgb[:n], raw_den[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "tile"))
+def _fused_mlp_bwd_impl(params, x, d, g_rgb, g_den, *, cfg: Config,
+                        tile: int):
+    n = x.shape[0]
+    dims, w_specs, b_specs = _weight_specs(cfg)
+    dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    xp = _pad_rows(x, tile)
+    dp = _pad_rows(d, tile)
+    gp = _pad_rows(g_rgb, tile)
+    gdp = _pad_rows(g_den, tile)
+    n_pad = xp.shape[0]
+    grid = (n_pad // tile,)
+
+    in_specs = [
+        pl.BlockSpec((tile, x.shape[1]), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, d.shape[1]), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, g_rgb.shape[1]), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, g_den.shape[1]), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        *w_specs,
+        *b_specs,
+    ]
+    # dW/db accumulate in place across the sequential grid.
+    out_specs = [*w_specs, *b_specs,
+                 pl.BlockSpec((tile, x.shape[1]), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((tile, d.shape[1]), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = (
+        [jax.ShapeDtypeStruct((i, o), jnp.float32) for i, o in dims]
+        + [jax.ShapeDtypeStruct((1, o), jnp.float32) for _, o in dims]
+        + [jax.ShapeDtypeStruct((n_pad, x.shape[1]), jnp.float32),
+           jax.ShapeDtypeStruct((n_pad, d.shape[1]), jnp.float32)]
+    )
+    flops_rows = 3 * 2 * sum(i * o for i, o in dims)
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, cfg, dt),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=flops_rows * n_pad,
+            bytes_accessed=n_pad * 2 * (x.shape[1] + d.shape[1] + 4) * 4,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(
+        xp, dp, gp, gdp,
+        *[w for w, _ in params],
+        *[b.reshape(1, -1) for _, b in params],
+    )
+    n_layers = len(dims)
+    dws = outs[:n_layers]
+    dbs = [b[0] for b in outs[n_layers : 2 * n_layers]]
+    dx = outs[2 * n_layers][:n]
+    dd = outs[2 * n_layers + 1][:n]
+    d_params = [(dw, db) for dw, db in zip(dws, dbs)]
+    return d_params, dx, dd
+
+
+# ----------------------------------------------------------------------------
+# custom_vjp wrapper matching models.mlp.apply_mlp's signature
+# ----------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _fused_apply(params, x2d, d2d, cfg: Config, tile: int):
+    return _fused_mlp_fwd_impl(params, x2d, d2d, cfg=cfg, tile=tile)
+
+
+def _fused_apply_fwd(params, x2d, d2d, cfg, tile):
+    out = _fused_mlp_fwd_impl(params, x2d, d2d, cfg=cfg, tile=tile)
+    return out, (params, x2d, d2d)
+
+
+def _fused_apply_bwd(cfg, tile, res, grads):
+    params, x2d, d2d = res
+    g_rgb, g_den = grads
+    d_params, dx, dd = _fused_mlp_bwd_impl(
+        params, x2d, d2d, g_rgb, g_den, cfg=cfg, tile=tile
+    )
+    return d_params, dx, dd
+
+
+_fused_apply.defvjp(_fused_apply_fwd, _fused_apply_bwd)
+
+
+def fused_mlp_apply(params: Params, cfg: Config, x: jnp.ndarray,
+                    dir_enc: jnp.ndarray, tile: int = DEFAULT_TILE):
+    """Drop-in replacement for ``models.mlp.apply_mlp`` (same signature).
+
+    Args:
+      x: [..., S, location_features]; dir_enc: [..., direction_features].
+    Returns:
+      raw_rgb [..., S, 3], raw_density [..., S, 1], f32.
+    """
+    lead = x.shape[:-1]
+    feat = x.shape[-1]
+    n = int(np.prod(lead))
+    x2d = x.reshape(n, feat)
+    # broadcast per-ray dir_enc over samples -> per-row
+    d_full = jnp.broadcast_to(
+        dir_enc[..., None, :], (*lead, dir_enc.shape[-1])
+    ).reshape(n, dir_enc.shape[-1])
+    raw_rgb, raw_den = _fused_apply(params, x2d, d_full, cfg, tile)
+    return (
+        raw_rgb.reshape(*lead, cfg.num_rgb_channels),
+        raw_den.reshape(*lead, cfg.num_density_channels),
+    )
+
+
+def make_mlp_apply(cfg: Config):
+    """Select the MLP forward per config (Pallas fused vs plain XLA)."""
+    if cfg.use_pallas:
+        return fused_mlp_apply
+    from nerf_or_nothing_tpu.models.mlp import apply_mlp
+
+    def plain(params, c, x, d):
+        dt = jnp.bfloat16 if c.compute_dtype == "bfloat16" else jnp.float32
+        return apply_mlp(params, c, x, d, compute_dtype=dt)
+
+    return plain

@@ -58,8 +58,13 @@ def render_rays(
     """
     dt = _compute_dtype(cfg)
     if mlp_apply is None:
-        def mlp_apply(p, c, x, d):
-            return mlp_lib.apply_mlp(p, c, x, d, compute_dtype=dt)
+        if cfg.use_pallas:
+            from nerf_or_nothing_tpu.kernels.fused_mlp import fused_mlp_apply
+
+            mlp_apply = fused_mlp_apply
+        else:
+            def mlp_apply(p, c, x, d):
+                return mlp_lib.apply_mlp(p, c, x, d, compute_dtype=dt)
 
     dir_to_encode = rays.viewdirs if cfg.use_viewdirs else rays.directions
     dir_enc = ipe.pos_enc(dir_to_encode, 0, cfg.deg_view)
