@@ -56,10 +56,28 @@ DEFAULT_TILE = 512
 
 
 def _mm(a, b, dt):
-    """MXU matmul in compute dtype with f32 accumulation."""
+    """a @ b on the MXU in compute dtype with f32 accumulation."""
     return jax.lax.dot_general(
         a.astype(dt), b.astype(dt),
         dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _mm_tn(a, b, dt):
+    """a.T @ b without materializing the transpose (contract over rows)."""
+    return jax.lax.dot_general(
+        a.astype(dt), b.astype(dt),
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _mm_nt(a, b, dt):
+    """a @ b.T without materializing the transpose (contract over cols)."""
+    return jax.lax.dot_general(
+        a.astype(dt), b.astype(dt),
+        dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
 
@@ -165,9 +183,9 @@ def _bwd_kernel(cfg: Config, dt, *refs):
     # ---- rgb head ----
     i_rgb = D + 1 + Dc
     hv_last = vs[-1]
-    acc(dw_refs[i_rgb], _mm(hv_last.T, g_rgb, dt))
+    acc(dw_refs[i_rgb], _mm_tn(hv_last, g_rgb, dt))
     acc(db_refs[i_rgb], jnp.sum(g_rgb, axis=0, keepdims=True))
-    g = _mm(g_rgb, ws[i_rgb].T, dt)
+    g = _mm_nt(g_rgb, ws[i_rgb], dt)
 
     # ---- view branch reversed ----
     g_d = None
@@ -180,21 +198,21 @@ def _bwd_kernel(cfg: Config, dt, *refs):
             acc(
                 dw_refs[i],
                 jnp.concatenate(
-                    [_mm(h_in.T, g, dt), _mm(d.T, g, dt)], axis=0
+                    [_mm_tn(h_in, g, dt), _mm_tn(d, g, dt)], axis=0
                 ),
             )
             acc(db_refs[i], jnp.sum(g, axis=0, keepdims=True))
-            g_d = _mm(g, ws[i][nw:, :].T, dt)
-            g = _mm(g, ws[i][:nw, :].T, dt)
+            g_d = _mm_nt(g, ws[i][nw:, :], dt)
+            g = _mm_nt(g, ws[i][:nw, :], dt)
         else:
-            acc(dw_refs[i], _mm(h_in.T, g, dt))
+            acc(dw_refs[i], _mm_tn(h_in, g, dt))
             acc(db_refs[i], jnp.sum(g, axis=0, keepdims=True))
-            g = _mm(g, ws[i].T, dt)
+            g = _mm_nt(g, ws[i], dt)
 
     # ---- density head joins the trunk gradient (MLP.cs:148-153) ----
-    acc(dw_refs[D], _mm(hs[-1].T, g_den, dt))
+    acc(dw_refs[D], _mm_tn(hs[-1], g_den, dt))
     acc(db_refs[D], jnp.sum(g_den, axis=0, keepdims=True))
-    g = g + _mm(g_den, ws[D].T, dt)
+    g = g + _mm_nt(g_den, ws[D], dt)
 
     # ---- trunk reversed ----
     g_x = jnp.zeros_like(x)
@@ -205,16 +223,16 @@ def _bwd_kernel(cfg: Config, dt, *refs):
             acc(
                 dw_refs[i],
                 jnp.concatenate(
-                    [_mm(h_in.T, g, dt), _mm(x.T, g, dt)], axis=0
+                    [_mm_tn(h_in, g, dt), _mm_tn(x, g, dt)], axis=0
                 ),
             )
             acc(db_refs[i], jnp.sum(g, axis=0, keepdims=True))
-            g_x = g_x + _mm(g, ws[i][nw:, :].T, dt)
-            g = _mm(g, ws[i][:nw, :].T, dt)
+            g_x = g_x + _mm_nt(g, ws[i][nw:, :], dt)
+            g = _mm_nt(g, ws[i][:nw, :], dt)
         else:
-            acc(dw_refs[i], _mm(h_in.T, g, dt))
+            acc(dw_refs[i], _mm_tn(h_in, g, dt))
             acc(db_refs[i], jnp.sum(g, axis=0, keepdims=True))
-            g = _mm(g, ws[i].T, dt)
+            g = _mm_nt(g, ws[i], dt)
     g_x = g_x + g  # layer 0's input IS x
 
     dx_ref[...] = g_x
@@ -296,7 +314,9 @@ def _fused_mlp_fwd_impl(params, x, d, *, cfg: Config, tile: int):
         interpret=_interpret(),
     )(
         xp, dp,
-        *[w for w, _ in params],
+        # pre-cast weights once per call; the kernel body would otherwise
+        # re-cast all ~494k params on every grid step
+        *[w.astype(dt) for w, _ in params],
         *[b.reshape(1, -1) for _, b in params],
     )
     return raw_rgb[:n], raw_den[:n]
@@ -355,7 +375,7 @@ def _fused_mlp_bwd_impl(params, x, d, g_rgb, g_den, *, cfg: Config,
         interpret=_interpret(),
     )(
         xp, dp, gp, gdp,
-        *[w for w, _ in params],
+        *[w.astype(dt) for w, _ in params],
         *[b.reshape(1, -1) for _, b in params],
     )
     n_layers = len(dims)

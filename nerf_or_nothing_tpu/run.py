@@ -1,0 +1,140 @@
+"""Top-level train / eval / render entry points (the reference's
+``Program.Main``/``Train`` loop, ``ScratchNerf/Program.cs:12-62``, made real:
+logging actually populated, checkpoints actually saved, eval actually runs).
+
+CLI:
+  python -m nerf_or_nothing_tpu.run train --data-dir=... --max-steps=...
+  python -m nerf_or_nothing_tpu.run eval  --data-dir=... --checkpoint-dir=...
+  python -m nerf_or_nothing_tpu.run render --data-dir=... --out=...
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nerf_or_nothing_tpu import checkpoint as ckpt_lib
+from nerf_or_nothing_tpu.config import Config, parse_flags
+from nerf_or_nothing_tpu.datasets.base import create_dataset
+from nerf_or_nothing_tpu.eval import evaluate_dataset, make_render_fn, render_image
+from nerf_or_nothing_tpu.metrics import MetricsLogger
+from nerf_or_nothing_tpu.parallel import mesh as mesh_lib
+from nerf_or_nothing_tpu.rays import Rays
+from nerf_or_nothing_tpu.train import (
+    TrainState,
+    init_train_state,
+    make_jitted_train_step,
+)
+
+
+def train(cfg: Config, log_dir: Optional[str] = None) -> TrainState:
+    """The training loop (Program.cs:21-62 equivalent).
+
+    Single-host: uses all local devices through the data-parallel mesh when
+    more than one is present, else the plain jit path.
+    """
+    dataset = create_dataset("train", cfg.data_dir, cfg)
+    state = init_train_state(cfg)
+    start_step = 0
+    if cfg.checkpoint_dir and cfg.resume:
+        state = ckpt_lib.maybe_restore(cfg.checkpoint_dir, state)
+        start_step = int(state.step)
+        if start_step:
+            print(f"resumed from step {start_step}")
+
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        mesh = mesh_lib.create_mesh()
+        state = mesh_lib.replicate_state(mesh, state)
+        step_fn = mesh_lib.make_sharded_train_step(cfg, mesh)
+
+        def put(rays, pixels):
+            return mesh_lib.shard_batch(mesh, rays, pixels)
+    else:
+        step_fn = make_jitted_train_step(cfg)
+
+        def put(rays, pixels):
+            return (
+                Rays(*[jnp.asarray(x) for x in rays]), jnp.asarray(pixels)
+            )
+
+    logger = MetricsLogger(log_dir, batch_size=cfg.batch_size)
+    stats = None
+    for step in range(start_step + 1, cfg.max_steps + 1):
+        rays, pixels = next(dataset)
+        state, stats = step_fn(state, *put(rays, pixels))
+        if step % cfg.print_every == 0:
+            logger.log(step, jax.device_get(stats))
+        if cfg.checkpoint_dir and step % cfg.save_every == 0:
+            ckpt_lib.save_checkpoint(cfg.checkpoint_dir, state)
+    if cfg.checkpoint_dir:
+        ckpt_lib.save_checkpoint(cfg.checkpoint_dir, state)
+    logger.close()
+    return state
+
+
+def evaluate(cfg: Config, max_images: Optional[int] = None) -> dict:
+    state = init_train_state(cfg)
+    if cfg.checkpoint_dir:
+        state = ckpt_lib.maybe_restore(cfg.checkpoint_dir, state)
+    dataset = create_dataset("test", cfg.data_dir, cfg)
+    metrics = evaluate_dataset(cfg, state.params, dataset, max_images)
+    print({k: round(v, 4) for k, v in metrics.items()})
+    return metrics
+
+
+def render(cfg: Config, out_dir: str, max_images: Optional[int] = None):
+    from PIL import Image
+
+    state = init_train_state(cfg)
+    if cfg.checkpoint_dir:
+        state = ckpt_lib.maybe_restore(cfg.checkpoint_dir, state)
+    dataset = create_dataset("test", cfg.data_dir, cfg)
+    render_fn = make_render_fn(cfg)
+    os.makedirs(out_dir, exist_ok=True)
+    n = dataset.num_images if max_images is None else min(
+        max_images, dataset.num_images
+    )
+    for i in range(n):
+        rays, _ = dataset.image_rays(i)
+        rgb, dist, acc = render_image(
+            render_fn, state.params,
+            Rays(*[jnp.asarray(x) for x in rays]),
+            dataset.height, dataset.width, cfg.render_chunk_size,
+        )
+        img = (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
+        Image.fromarray(img).save(os.path.join(out_dir, f"render_{i:03d}.png"))
+        print(f"wrote render_{i:03d}.png")
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv or argv[0] not in ("train", "eval", "render"):
+        print(__doc__)
+        return 2
+    command, rest = argv[0], argv[1:]
+    out = None
+    filtered = []
+    for a in rest:
+        if a.startswith("--out="):
+            out = a.split("=", 1)[1]
+        else:
+            filtered.append(a)
+    cfg = parse_flags(filtered)
+    if command == "train":
+        train(cfg, log_dir=cfg.checkpoint_dir or None)
+    elif command == "eval":
+        evaluate(cfg)
+    else:
+        render(cfg, out or "renders")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

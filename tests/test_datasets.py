@@ -147,3 +147,68 @@ def test_train_on_blender_smoke(blender_dir):
         state, Rays(*[jnp.asarray(x) for x in rays]), jnp.asarray(pixels)
     )
     assert np.isfinite(float(stats.loss))
+
+
+def write_llff_scene(root, n_images=6, size=12):
+    """Synthetic LLFF scene: images/ + poses_bounds.npy (canonical layout)."""
+    from PIL import Image
+
+    os.makedirs(os.path.join(root, "images"), exist_ok=True)
+    rng = np.random.default_rng(3)
+    rows = []
+    focal = 20.0
+    for i in range(n_images):
+        img = rng.uniform(0, 255, size=(size, size, 3)).astype(np.uint8)
+        Image.fromarray(img).save(os.path.join(root, "images", f"im_{i}.png"))
+        # forward-facing-ish cameras: small offsets, looking down -z
+        c2w = np.eye(4)[:3]
+        c2w[:, 3] = [0.1 * i, 0.05 * i, 0.1]
+        # poses_bounds row: [3x5 pose (pose|hwf)] + [near far]
+        hwf = np.asarray([size, size, focal])[:, None]
+        row = np.concatenate([np.concatenate([c2w, hwf], 1).ravel(),
+                              [1.0, 10.0]])
+        rows.append(row)
+    np.save(os.path.join(root, "poses_bounds.npy"), np.stack(rows))
+
+
+@pytest.fixture(scope="module")
+def llff_dir(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("llff"))
+    write_llff_scene(root)
+    return root
+
+
+def test_llff_loader_ndc(llff_dir):
+    cfg = Config(dataset_loader=DatasetType.LLFF, batch_size=16, llff_hold=3)
+    ds = create_dataset("train", llff_dir, cfg)
+    # 6 images, hold every 3rd -> 4 train / 2 test
+    assert ds.images.shape[0] == 4
+    ds_test = create_dataset("test", llff_dir, cfg)
+    assert ds_test.images.shape[0] == 2
+    # NDC: near/far are 0/1 and ray dirs have positive z-ish structure
+    np.testing.assert_allclose(ds.rays.near, 0.0)
+    np.testing.assert_allclose(ds.rays.far, 1.0)
+    assert (ds.rays.radii > 0).all()
+    rays, pixels = next(ds)
+    assert pixels.shape == (16, 3)
+
+
+def test_llff_spherify(llff_dir):
+    cfg = Config(dataset_loader=DatasetType.LLFF, batch_size=8,
+                 spherify=True, llff_hold=3)
+    ds = create_dataset("train", llff_dir, cfg)
+    # spherified: circular render path, non-NDC near/far from bounds
+    assert ds.render_poses is not None
+    assert ds.render_poses.shape[1:] == (3, 4)
+    assert float(ds.rays.near[0, 0, 0, 0]) > 0.0
+    path = ds.render_path_rays()
+    assert len(path) == 120
+    assert path[0].origins.shape == ds.rays.origins.shape[1:]
+
+
+def test_llff_spiral_render_path(llff_dir):
+    cfg = Config(dataset_loader=DatasetType.LLFF, batch_size=8,
+                 render_path=True, llff_hold=3)
+    ds = create_dataset("train", llff_dir, cfg)
+    assert ds.render_poses is not None
+    assert len(ds.render_path_rays()) == 120

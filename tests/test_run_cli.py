@@ -1,0 +1,56 @@
+"""End-to-end CLI: train -> checkpoint -> eval -> render on a tiny scene."""
+
+import os
+
+import numpy as np
+import pytest
+
+from test_datasets import write_blender_scene
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("scene"))
+    write_blender_scene(root, n_frames=2, size=8)
+    return root
+
+
+def test_cli_train_eval_render(scene, tmp_path):
+    from nerf_or_nothing_tpu.run import main
+
+    ckpt = str(tmp_path / "ckpt")
+    args = [
+        f"--data-dir={scene}", "--dataset-loader=blender",
+        "--batch-size=16", "--num-samples=8", "--net-depth=2",
+        "--net-width=16", "--net-width-condition=8", "--max-deg-point=4",
+        "--num-levels=1", "--max-steps=5", "--print-every=2",
+        "--save-every=5", f"--checkpoint-dir={ckpt}",
+        "--render-chunk-size=32", "--use-pallas=false",
+    ]
+    assert main(["train", *args]) == 0
+    ckpts = [f for f in os.listdir(ckpt) if f.startswith("checkpoint_")]
+    assert ckpts, "no checkpoint written"
+
+    assert main(["eval", *args]) == 0
+
+    out = str(tmp_path / "renders")
+    assert main(["render", *args, f"--out={out}"]) == 0
+    pngs = sorted(os.listdir(out))
+    assert pngs == ["render_000.png", "render_001.png"]
+    from PIL import Image
+
+    img = np.asarray(Image.open(os.path.join(out, pngs[0])))
+    assert img.shape == (8, 8, 3)
+
+
+def test_cli_unknown_command():
+    from nerf_or_nothing_tpu.run import main
+
+    assert main(["frobnicate"]) == 2
+
+
+def test_cli_unknown_flag(scene):
+    from nerf_or_nothing_tpu.run import main
+
+    with pytest.raises(ValueError, match="unknown flag"):
+        main(["train", "--no-such-flag=1"])
