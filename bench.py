@@ -44,6 +44,15 @@ def main():
 
     import jax
 
+    # Persistent compilation cache: first-compile through the remote tunnel
+    # can take minutes; cached reruns start in seconds.
+    import os
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/tmp/non_tpu_jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
     from __graft_entry__ import _example_batch
     from nerf_or_nothing_tpu.config import Config
     from nerf_or_nothing_tpu.models import mlp as mlp_lib

@@ -39,6 +39,12 @@ def main():
         )
     import jax
 
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/tmp/non_tpu_jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
     if args.force_cpu:
         jax.config.update("jax_platforms", "cpu")
 

@@ -33,6 +33,12 @@ def main():
 
     import jax
 
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/tmp/non_tpu_jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
     from __graft_entry__ import _example_batch
     from nerf_or_nothing_tpu.config import Config
     from nerf_or_nothing_tpu.train import init_train_state, make_jitted_train_step

@@ -52,7 +52,12 @@ from nerf_or_nothing_tpu.config import Config
 from nerf_or_nothing_tpu.models.mlp import Params, layer_dims
 
 # Rows of (ray, sample) pairs processed per grid step.
-DEFAULT_TILE = 512
+# Rows per grid step. The forward keeps only transient activations in VMEM
+# so it can run bigger tiles (larger MXU ops); the backward holds every
+# layer's bf16 activations + the f32 dW accumulators resident, capping it
+# lower (at 8x256 defaults: ~6 MB acts + 2 MB dW + 1 MB weights at 1024).
+DEFAULT_TILE_FWD = 2048
+DEFAULT_TILE_BWD = 1024
 
 
 def _mm(a, b, dt):
@@ -86,11 +91,16 @@ def _forward_tile(cfg: Config, dt, x, d, ws, bs):
     """Shared fwd math on one row tile; returns (raw_rgb, raw_density, acts).
 
     acts = list of post-ReLU trunk activations h_0..h_{D-1} plus view-branch
-    activations — everything the backward needs.
+    activations, stored in the compute dtype (bf16) — they feed matmuls
+    (which take bf16 operands anyway) and ReLU masks, so keeping them f32
+    would only double VMEM. Heads stay f32 (the f32 accumulator + bias).
     """
     D, Dc = cfg.net_depth, cfg.net_depth_condition
     skip = cfg.skip_layer
     nw = cfg.net_width
+
+    x = x.astype(dt)
+    d = d.astype(dt)
 
     hs: List[Any] = []
     h = x
@@ -103,7 +113,7 @@ def _forward_tile(cfg: Config, dt, x, d, ws, bs):
             z = _mm(x, w, dt) + b
         else:
             z = _mm(h, w, dt) + b
-        h = jnp.maximum(z, 0.0)
+        h = jnp.maximum(z, 0.0).astype(dt)
         hs.append(h)
 
     raw_density = _mm(h, ws[D], dt) + bs[D]
@@ -116,7 +126,7 @@ def _forward_tile(cfg: Config, dt, x, d, ws, bs):
             z = _mm(hv, w[:nw, :], dt) + _mm(d, w[nw:, :], dt) + b
         else:
             z = _mm(hv, w, dt) + b
-        hv = jnp.maximum(z, 0.0)
+        hv = jnp.maximum(z, 0.0).astype(dt)
         vs.append(hv)
 
     raw_rgb = _mm(hv, ws[D + 1 + Dc], dt) + bs[D + 1 + Dc]
@@ -191,7 +201,8 @@ def _bwd_kernel(cfg: Config, dt, *refs):
     g_d = None
     for j in range(Dc - 1, -1, -1):
         i = D + 1 + j
-        g = g * (vs[j] > 0.0)
+        # compare in f32: Mosaic has no bf16 cmpf on v5e
+        g = g * (vs[j].astype(jnp.float32) > 0.0)
         h_in = vs[j - 1] if j > 0 else hs[-1]
         if j == 0:
             # dW for a concat layer: stack the two input blocks' grads.
@@ -217,7 +228,7 @@ def _bwd_kernel(cfg: Config, dt, *refs):
     # ---- trunk reversed ----
     g_x = jnp.zeros_like(x)
     for i in range(D - 1, -1, -1):
-        g = g * (hs[i] > 0.0)
+        g = g * (hs[i].astype(jnp.float32) > 0.0)
         h_in = hs[i - 1] if i > 0 else x
         if i % skip == 0 and i > 0:
             acc(
@@ -372,6 +383,11 @@ def _fused_mlp_bwd_impl(params, x, d, g_rgb, g_den, *, cfg: Config,
             bytes_accessed=n_pad * 2 * (x.shape[1] + d.shape[1] + 4) * 4,
             transcendentals=0,
         ),
+        # bf16 activations + f32 dW accumulators at tile 1024 need ~17 MB;
+        # raise the scoped-VMEM cap above the conservative 16 MB default.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=_interpret(),
     )(
         xp, dp, gp, gdp,
@@ -392,21 +408,22 @@ def _fused_mlp_bwd_impl(params, x, d, g_rgb, g_den, *, cfg: Config,
 # ----------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _fused_apply(params, x2d, d2d, cfg: Config, tile: int):
-    return _fused_mlp_fwd_impl(params, x2d, d2d, cfg=cfg, tile=tile)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _fused_apply(params, x2d, d2d, cfg: Config, tile_fwd: int,
+                 tile_bwd: int):
+    return _fused_mlp_fwd_impl(params, x2d, d2d, cfg=cfg, tile=tile_fwd)
 
 
-def _fused_apply_fwd(params, x2d, d2d, cfg, tile):
-    out = _fused_mlp_fwd_impl(params, x2d, d2d, cfg=cfg, tile=tile)
+def _fused_apply_fwd(params, x2d, d2d, cfg, tile_fwd, tile_bwd):
+    out = _fused_mlp_fwd_impl(params, x2d, d2d, cfg=cfg, tile=tile_fwd)
     return out, (params, x2d, d2d)
 
 
-def _fused_apply_bwd(cfg, tile, res, grads):
+def _fused_apply_bwd(cfg, tile_fwd, tile_bwd, res, grads):
     params, x2d, d2d = res
     g_rgb, g_den = grads
     d_params, dx, dd = _fused_mlp_bwd_impl(
-        params, x2d, d2d, g_rgb, g_den, cfg=cfg, tile=tile
+        params, x2d, d2d, g_rgb, g_den, cfg=cfg, tile=tile_bwd
     )
     return d_params, dx, dd
 
@@ -415,7 +432,8 @@ _fused_apply.defvjp(_fused_apply_fwd, _fused_apply_bwd)
 
 
 def fused_mlp_apply(params: Params, cfg: Config, x: jnp.ndarray,
-                    dir_enc: jnp.ndarray, tile: int = DEFAULT_TILE):
+                    dir_enc: jnp.ndarray, tile: int | None = None,
+                    tile_bwd: int | None = None):
     """Drop-in replacement for ``models.mlp.apply_mlp`` (same signature).
 
     Args:
@@ -431,7 +449,11 @@ def fused_mlp_apply(params: Params, cfg: Config, x: jnp.ndarray,
     d_full = jnp.broadcast_to(
         dir_enc[..., None, :], (*lead, dir_enc.shape[-1])
     ).reshape(n, dir_enc.shape[-1])
-    raw_rgb, raw_den = _fused_apply(params, x2d, d_full, cfg, tile)
+    tile_fwd = tile or DEFAULT_TILE_FWD
+    tile_bwd = tile_bwd or tile or DEFAULT_TILE_BWD
+    raw_rgb, raw_den = _fused_apply(
+        params, x2d, d_full, cfg, tile_fwd, tile_bwd
+    )
     return (
         raw_rgb.reshape(*lead, cfg.num_rgb_channels),
         raw_den.reshape(*lead, cfg.num_density_channels),

@@ -1,0 +1,101 @@
+"""True multi-process "multi-host" test: 2 processes x 4 virtual CPU devices.
+
+Exercises the real multi-host code paths — ``jax.distributed.initialize``,
+per-process data striping, ``make_array_from_process_local_data`` batch
+assembly, cross-process gradient psum — that the in-process 8-device tests
+cannot reach (SURVEY.md §4 "fake multi-host via multiprocess on localhost").
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+WORKER = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=os.environ["COORD"],
+    num_processes=2,
+    process_id=int(os.environ["PROC_ID"]),
+)
+import jax.numpy as jnp
+import numpy as np
+from nerf_or_nothing_tpu.config import tiny_config
+from nerf_or_nothing_tpu.parallel import mesh as mesh_lib
+from nerf_or_nothing_tpu.rays import Rays
+from nerf_or_nothing_tpu.train import init_train_state
+
+assert jax.process_count() == 2, jax.process_count()
+assert len(jax.devices()) == 8, jax.devices()
+
+cfg = tiny_config(batch_size=32, num_samples=8, net_depth=2, net_width=16,
+                  net_width_condition=8, max_deg_point=4, randomized=False,
+                  donate_params=False)
+mesh = mesh_lib.create_mesh()
+state = mesh_lib.replicate_state(mesh, init_train_state(cfg))
+
+# each process contributes its local half of the global batch
+pid = jax.process_index()
+rng = np.random.default_rng(100 + pid)
+R_local = cfg.batch_size // 2
+d = rng.normal(size=(R_local, 3)).astype(np.float32)
+ones = np.ones((R_local, 1), np.float32)
+rays = Rays(np.zeros((R_local, 3), np.float32), d,
+            d / np.linalg.norm(d, axis=-1, keepdims=True),
+            ones * 0.005, ones * 2.0, ones * 6.0, ones)
+pixels = rng.uniform(size=(R_local, 3)).astype(np.float32)
+sh_rays, sh_pixels = mesh_lib.shard_batch(mesh, rays, pixels)
+
+step = mesh_lib.make_sharded_train_step(cfg, mesh)
+for _ in range(2):
+    state, stats = step(state, sh_rays, sh_pixels)
+loss = float(stats.loss)
+w0 = np.asarray(state.params[0][0].addressable_shards[0].data)
+print(f"RESULT {jax.process_index()} {loss:.8f} {float(np.sum(w0)):.8f}",
+      flush=True)
+"""
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_training_agrees():
+    port = _free_port()
+    env_base = dict(os.environ)
+    env_base["COORD"] = f"127.0.0.1:{port}"
+    env_base["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env_base.pop("JAX_PLATFORMS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = []
+    for pid in (0, 1):
+        env = dict(env_base, PROC_ID=str(pid))
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", WORKER], env=env, cwd=repo,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        ))
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=150)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        outs.append(out)
+
+    results = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("RESULT"):
+                _, pid, loss, wsum = line.split()
+                results[int(pid)] = (float(loss), float(wsum))
+    assert set(results) == {0, 1}, results
+    # both processes observe the same pmean'd loss and identical params
+    assert results[0][0] == pytest.approx(results[1][0], rel=1e-6)
+    assert results[0][1] == pytest.approx(results[1][1], rel=1e-6)
