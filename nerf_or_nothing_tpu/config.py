@@ -105,6 +105,7 @@ class Config:
 
     # ---- TPU execution (new; no reference equivalent — SURVEY.md §2.11) ----
     use_pallas: bool = True         # fused Pallas kernels on the hot path
+    debug_nans: bool = False        # jax_debug_nans sanitizer mode (§5.2)
     compute_dtype: str = "bfloat16"  # MXU-friendly; params/accum stay f32
     mesh_shape: Sequence[int] = (1,)  # devices along the 'batch' axis
     donate_params: bool = True

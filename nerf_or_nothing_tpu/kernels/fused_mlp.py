@@ -57,7 +57,7 @@ from nerf_or_nothing_tpu.models.mlp import Params, layer_dims
 # layer's bf16 activations + the f32 dW accumulators resident, capping it
 # lower (at 8x256 defaults: ~6 MB acts + 2 MB dW + 1 MB weights at 1024).
 DEFAULT_TILE_FWD = 2048
-DEFAULT_TILE_BWD = 1024
+DEFAULT_TILE_BWD = 2048
 
 
 def _mm(a, b, dt):
@@ -87,13 +87,19 @@ def _mm_nt(a, b, dt):
     )
 
 
-def _forward_tile(cfg: Config, dt, x, d, ws, bs):
+def _forward_tile(cfg: Config, dt, s: int, x, d, ws, bs):
     """Shared fwd math on one row tile; returns (raw_rgb, raw_density, acts).
 
     acts = list of post-ReLU trunk activations h_0..h_{D-1} plus view-branch
     activations, stored in the compute dtype (bf16) — they feed matmuls
     (which take bf16 operands anyway) and ReLU masks, so keeping them f32
     would only double VMEM. Heads stay f32 (the f32 accumulator + bias).
+
+    ``d`` is PER-RAY: [tile/s, Fd] with ``s`` samples per ray. Its view-layer
+    contribution ``d @ W_bot`` is computed once per ray and broadcast to the
+    ray's rows in VMEM — the reference encodes the direction once per ray
+    too (MipNerfModel.cs:70), but the unfused path materializes the
+    [rays*samples, Fd] broadcast through HBM.
     """
     D, Dc = cfg.net_depth, cfg.net_depth_condition
     skip = cfg.skip_layer
@@ -120,10 +126,16 @@ def _forward_tile(cfg: Config, dt, x, d, ws, bs):
 
     hv = h
     vs: List[Any] = []
+    tile = x.shape[0]
     for j in range(Dc):
         w, b = ws[D + 1 + j], bs[D + 1 + j]
         if j == 0:
-            z = _mm(hv, w[:nw, :], dt) + _mm(d, w[nw:, :], dt) + b
+            dc = _mm(d, w[nw:, :], dt)  # [tile/s, nwc], once per ray
+            if s > 1:
+                dc = jnp.broadcast_to(
+                    dc[:, None, :], (tile // s, s, dc.shape[-1])
+                ).reshape(tile, dc.shape[-1])
+            z = _mm(hv, w[:nw, :], dt) + dc + b
         else:
             z = _mm(hv, w, dt) + b
         hv = jnp.maximum(z, 0.0).astype(dt)
@@ -133,7 +145,7 @@ def _forward_tile(cfg: Config, dt, x, d, ws, bs):
     return raw_rgb, raw_density, hs, vs
 
 
-def _fwd_kernel(cfg: Config, dt, *refs):
+def _fwd_kernel(cfg: Config, dt, s: int, *refs):
     n_layers = len(layer_dims(cfg))
     x_ref, d_ref = refs[0], refs[1]
     w_refs = refs[2 : 2 + n_layers]
@@ -143,13 +155,13 @@ def _fwd_kernel(cfg: Config, dt, *refs):
     ws = [w[...] for w in w_refs]
     bs = [b[...] for b in b_refs]
     raw_rgb, raw_density, _, _ = _forward_tile(
-        cfg, dt, x_ref[...], d_ref[...], ws, bs
+        cfg, dt, s, x_ref[...], d_ref[...], ws, bs
     )
     rgb_ref[...] = raw_rgb
     den_ref[...] = raw_density
 
 
-def _bwd_kernel(cfg: Config, dt, *refs):
+def _bwd_kernel(cfg: Config, dt, s: int, *refs):
     """Recompute-forward + full reverse pass for one row tile.
 
     Grid-step accumulation: dW/db out blocks have a constant index map, so
@@ -174,7 +186,7 @@ def _bwd_kernel(cfg: Config, dt, *refs):
     ws = [w[...] for w in w_refs]
     bs = [b[...] for b in b_refs]
 
-    _, _, hs, vs = _forward_tile(cfg, dt, x, d, ws, bs)
+    _, _, hs, vs = _forward_tile(cfg, dt, s, x, d, ws, bs)
 
     is_first = pl.program_id(0) == 0
 
@@ -198,6 +210,7 @@ def _bwd_kernel(cfg: Config, dt, *refs):
     g = _mm_nt(g_rgb, ws[i_rgb], dt)
 
     # ---- view branch reversed ----
+    tile = x.shape[0]
     g_d = None
     for j in range(Dc - 1, -1, -1):
         i = D + 1 + j
@@ -205,15 +218,23 @@ def _bwd_kernel(cfg: Config, dt, *refs):
         g = g * (vs[j].astype(jnp.float32) > 0.0)
         h_in = vs[j - 1] if j > 0 else hs[-1]
         if j == 0:
-            # dW for a concat layer: stack the two input blocks' grads.
+            # per-ray reduction first: sum_{rows of ray r} g gives both the
+            # d-block weight grad and the per-ray d grad with [tile/s]-sized
+            # matmuls instead of [tile]-sized broadcast ones.
+            if s > 1:
+                g_ray = jnp.sum(
+                    g.reshape(tile // s, s, g.shape[-1]), axis=1
+                )
+            else:
+                g_ray = g
             acc(
                 dw_refs[i],
                 jnp.concatenate(
-                    [_mm_tn(h_in, g, dt), _mm_tn(d, g, dt)], axis=0
+                    [_mm_tn(h_in, g, dt), _mm_tn(d, g_ray, dt)], axis=0
                 ),
             )
             acc(db_refs[i], jnp.sum(g, axis=0, keepdims=True))
-            g_d = _mm_nt(g, ws[i][nw:, :], dt)
+            g_d = _mm_nt(g_ray, ws[i][nw:, :], dt)
             g = _mm_nt(g, ws[i][:nw, :], dt)
         else:
             acc(dw_refs[i], _mm_tn(h_in, g, dt))
@@ -281,21 +302,21 @@ def _interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "tile"))
-def _fused_mlp_fwd_impl(params, x, d, *, cfg: Config, tile: int):
+@functools.partial(jax.jit, static_argnames=("cfg", "tile", "s"))
+def _fused_mlp_fwd_impl(params, x, d, *, cfg: Config, tile: int, s: int = 1):
     n = x.shape[0]
     dims, w_specs, b_specs = _weight_specs(cfg)
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
     xp = _pad_rows(x, tile)
-    dp = _pad_rows(d, tile)
+    dp = _pad_rows(d, tile // s)  # d is per-ray: n/s rows
     n_pad = xp.shape[0]
     grid = (n_pad // tile,)
 
     in_specs = [
         pl.BlockSpec((tile, x.shape[1]), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile, d.shape[1]), lambda i: (i, 0),
+        pl.BlockSpec((tile // s, d.shape[1]), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
         *w_specs,
         *b_specs,
@@ -308,7 +329,7 @@ def _fused_mlp_fwd_impl(params, x, d, *, cfg: Config, tile: int):
     ]
     flops_rows = 2 * sum(i * o for i, o in dims)
     raw_rgb, raw_den = pl.pallas_call(
-        functools.partial(_fwd_kernel, cfg, dt),
+        functools.partial(_fwd_kernel, cfg, dt, s),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -333,15 +354,15 @@ def _fused_mlp_fwd_impl(params, x, d, *, cfg: Config, tile: int):
     return raw_rgb[:n], raw_den[:n]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "tile"))
+@functools.partial(jax.jit, static_argnames=("cfg", "tile", "s"))
 def _fused_mlp_bwd_impl(params, x, d, g_rgb, g_den, *, cfg: Config,
-                        tile: int):
+                        tile: int, s: int = 1):
     n = x.shape[0]
     dims, w_specs, b_specs = _weight_specs(cfg)
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
     xp = _pad_rows(x, tile)
-    dp = _pad_rows(d, tile)
+    dp = _pad_rows(d, tile // s)  # per-ray
     gp = _pad_rows(g_rgb, tile)
     gdp = _pad_rows(g_den, tile)
     n_pad = xp.shape[0]
@@ -350,7 +371,7 @@ def _fused_mlp_bwd_impl(params, x, d, g_rgb, g_den, *, cfg: Config,
     in_specs = [
         pl.BlockSpec((tile, x.shape[1]), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile, d.shape[1]), lambda i: (i, 0),
+        pl.BlockSpec((tile // s, d.shape[1]), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((tile, g_rgb.shape[1]), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
@@ -363,17 +384,17 @@ def _fused_mlp_bwd_impl(params, x, d, g_rgb, g_den, *, cfg: Config,
     out_specs = [*w_specs, *b_specs,
                  pl.BlockSpec((tile, x.shape[1]), lambda i: (i, 0),
                               memory_space=pltpu.VMEM),
-                 pl.BlockSpec((tile, d.shape[1]), lambda i: (i, 0),
+                 pl.BlockSpec((tile // s, d.shape[1]), lambda i: (i, 0),
                               memory_space=pltpu.VMEM)]
     out_shape = (
         [jax.ShapeDtypeStruct((i, o), jnp.float32) for i, o in dims]
         + [jax.ShapeDtypeStruct((1, o), jnp.float32) for _, o in dims]
         + [jax.ShapeDtypeStruct((n_pad, x.shape[1]), jnp.float32),
-           jax.ShapeDtypeStruct((n_pad, d.shape[1]), jnp.float32)]
+           jax.ShapeDtypeStruct((n_pad // s, d.shape[1]), jnp.float32)]
     )
     flops_rows = 3 * 2 * sum(i * o for i, o in dims)
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, cfg, dt),
+        functools.partial(_bwd_kernel, cfg, dt, s),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -398,7 +419,7 @@ def _fused_mlp_bwd_impl(params, x, d, g_rgb, g_den, *, cfg: Config,
     dws = outs[:n_layers]
     dbs = [b[0] for b in outs[n_layers : 2 * n_layers]]
     dx = outs[2 * n_layers][:n]
-    dd = outs[2 * n_layers + 1][:n]
+    dd = outs[2 * n_layers + 1][: n // s]
     d_params = [(dw, db) for dw, db in zip(dws, dbs)]
     return d_params, dx, dd
 
@@ -408,22 +429,22 @@ def _fused_mlp_bwd_impl(params, x, d, g_rgb, g_den, *, cfg: Config,
 # ----------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def _fused_apply(params, x2d, d2d, cfg: Config, tile_fwd: int,
-                 tile_bwd: int):
-    return _fused_mlp_fwd_impl(params, x2d, d2d, cfg=cfg, tile=tile_fwd)
+                 tile_bwd: int, s: int):
+    return _fused_mlp_fwd_impl(params, x2d, d2d, cfg=cfg, tile=tile_fwd, s=s)
 
 
-def _fused_apply_fwd(params, x2d, d2d, cfg, tile_fwd, tile_bwd):
-    out = _fused_mlp_fwd_impl(params, x2d, d2d, cfg=cfg, tile=tile_fwd)
+def _fused_apply_fwd(params, x2d, d2d, cfg, tile_fwd, tile_bwd, s):
+    out = _fused_mlp_fwd_impl(params, x2d, d2d, cfg=cfg, tile=tile_fwd, s=s)
     return out, (params, x2d, d2d)
 
 
-def _fused_apply_bwd(cfg, tile_fwd, tile_bwd, res, grads):
+def _fused_apply_bwd(cfg, tile_fwd, tile_bwd, s, res, grads):
     params, x2d, d2d = res
     g_rgb, g_den = grads
     d_params, dx, dd = _fused_mlp_bwd_impl(
-        params, x2d, d2d, g_rgb, g_den, cfg=cfg, tile=tile_bwd
+        params, x2d, d2d, g_rgb, g_den, cfg=cfg, tile=tile_bwd, s=s
     )
     return d_params, dx, dd
 
@@ -444,15 +465,24 @@ def fused_mlp_apply(params: Params, cfg: Config, x: jnp.ndarray,
     lead = x.shape[:-1]
     feat = x.shape[-1]
     n = int(np.prod(lead))
+    num_samples = x.shape[-2]
+    num_rays = n // num_samples
     x2d = x.reshape(n, feat)
-    # broadcast per-ray dir_enc over samples -> per-row
-    d_full = jnp.broadcast_to(
-        dir_enc[..., None, :], (*lead, dir_enc.shape[-1])
-    ).reshape(n, dir_enc.shape[-1])
     tile_fwd = tile or DEFAULT_TILE_FWD
     tile_bwd = tile_bwd or tile or DEFAULT_TILE_BWD
+    if tile_fwd % num_samples == 0 and tile_bwd % num_samples == 0:
+        # Per-ray d: rows are ray-major, so a tile covers whole rays and
+        # the kernel broadcasts the per-ray view contribution in VMEM.
+        s = num_samples
+        d2d = dir_enc.reshape(num_rays, dir_enc.shape[-1])
+    else:
+        # Fallback for shapes where tiles straddle rays: pre-broadcast.
+        s = 1
+        d2d = jnp.broadcast_to(
+            dir_enc[..., None, :], (*lead, dir_enc.shape[-1])
+        ).reshape(n, dir_enc.shape[-1])
     raw_rgb, raw_den = _fused_apply(
-        params, x2d, d_full, cfg, tile_fwd, tile_bwd
+        params, x2d, d2d, cfg, tile_fwd, tile_bwd, s
     )
     return (
         raw_rgb.reshape(*lead, cfg.num_rgb_channels),

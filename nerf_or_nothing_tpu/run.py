@@ -39,6 +39,11 @@ def train(cfg: Config, log_dir: Optional[str] = None) -> TrainState:
     Single-host: uses all local devices through the data-parallel mesh when
     more than one is present, else the plain jit path.
     """
+    if cfg.debug_nans:
+        # Sanitizer mode (SURVEY.md §5.2): raise on the first NaN instead of
+        # training through it like the reference does (it prints kernel
+        # errors and keeps going, AcceleratedMipNeRF.cpp:97-101).
+        jax.config.update("jax_debug_nans", True)
     dataset = create_dataset("train", cfg.data_dir, cfg)
     state = init_train_state(cfg)
     start_step = 0

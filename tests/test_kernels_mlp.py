@@ -144,3 +144,26 @@ def test_fused_in_full_model():
     )
     for f, r in zip(out_f, out_r):
         np.testing.assert_allclose(f.rgb, r.rgb, rtol=1e-4, atol=1e-5)
+
+
+def test_per_ray_and_broadcast_paths_agree():
+    """tile % S == 0 triggers the per-ray-direction kernel path; a tile
+    that straddles rays falls back to pre-broadcast. Both must agree."""
+    cfg = small_cfg(net_depth=4, skip_layer=2)
+    params, x, d = make_inputs(cfg, R=6, S=4, seed=5)  # 24 rows
+
+    def run(tile):
+        def loss(p):
+            rgb, den = fused_mlp_apply(p, cfg, x, d, tile=tile)
+            return jnp.sum(rgb * rgb) + jnp.sum(den)
+        g = jax.grad(loss)(params)
+        rgb, den = fused_mlp_apply(params, cfg, x, d, tile=tile)
+        return rgb, den, g
+
+    rgb_a, den_a, g_a = run(8)   # 8 % 4 == 0 -> per-ray path
+    rgb_b, den_b, g_b = run(6)   # 6 % 4 != 0 -> broadcast fallback
+    np.testing.assert_allclose(rgb_a, rgb_b, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(den_a, den_b, rtol=1e-4, atol=1e-5)
+    for (dwa, dba), (dwb, dbb) in zip(g_a, g_b):
+        np.testing.assert_allclose(dwa, dwb, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(dba, dbb, rtol=1e-4, atol=1e-5)
