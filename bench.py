@@ -37,7 +37,9 @@ def guess_peak(device) -> float:
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--batch-size", type=int, default=4096)
+    # 1024 rays = the reference GPU path's batch (helpers.h:18); also keeps
+    # first-compile time tolerable on tunneled TPU runners (~400 s cold).
+    parser.add_argument("--batch-size", type=int, default=1024)
     parser.add_argument("--steps", type=int, default=20)
     parser.add_argument("--warmup", type=int, default=3)
     args = parser.parse_args()
@@ -48,7 +50,7 @@ def main():
     # can take minutes; cached reruns start in seconds.
     import os
     cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                               "/tmp/non_tpu_jax_cache")
+                               "/root/jax_cache")
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)

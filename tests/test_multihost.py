@@ -99,3 +99,101 @@ def test_two_process_training_agrees():
     # both processes observe the same pmean'd loss and identical params
     assert results[0][0] == pytest.approx(results[1][0], rel=1e-6)
     assert results[0][1] == pytest.approx(results[1][1], rel=1e-6)
+
+
+RECOVERY_WORKER = r"""
+import os, sys
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(
+    coordinator_address=os.environ["COORD"],
+    num_processes=2,
+    process_id=int(os.environ["PROC_ID"]),
+)
+import jax.numpy as jnp
+import numpy as np
+from nerf_or_nothing_tpu import checkpoint as ckpt_lib
+from nerf_or_nothing_tpu.config import tiny_config
+from nerf_or_nothing_tpu.parallel import mesh as mesh_lib
+from nerf_or_nothing_tpu.rays import Rays
+from nerf_or_nothing_tpu.train import init_train_state
+
+cfg = tiny_config(batch_size=32, num_samples=8, net_depth=2, net_width=16,
+                  net_width_condition=8, max_deg_point=4, randomized=False,
+                  donate_params=False)
+mesh = mesh_lib.create_mesh()
+state = init_train_state(cfg)
+ckpt_dir = os.environ["CKPT_DIR"]
+if os.environ.get("RESUME") == "1":
+    state = ckpt_lib.maybe_restore(ckpt_dir, state)
+state = mesh_lib.replicate_state(mesh, state)
+
+pid = jax.process_index()
+rng = np.random.default_rng(100 + pid)
+R_local = cfg.batch_size // 2
+d = rng.normal(size=(R_local, 3)).astype(np.float32)
+ones = np.ones((R_local, 1), np.float32)
+rays = Rays(np.zeros((R_local, 3), np.float32), d,
+            d / np.linalg.norm(d, axis=-1, keepdims=True),
+            ones * 0.005, ones * 2.0, ones * 6.0, ones)
+pixels = rng.uniform(size=(R_local, 3)).astype(np.float32)
+sh_rays, sh_pixels = mesh_lib.shard_batch(mesh, rays, pixels)
+step = mesh_lib.make_sharded_train_step(cfg, mesh)
+for _ in range(int(os.environ["STEPS"])):
+    state, stats = step(state, sh_rays, sh_pixels)
+if os.environ.get("SAVE") == "1":
+    # gather to host then save from process 0 only (params are replicated)
+    host_state = jax.tree.map(lambda x: np.asarray(x), state)
+    ckpt_lib.save_checkpoint(ckpt_dir, host_state)
+w0 = np.asarray(state.params[0][0].addressable_shards[0].data)
+print(f"RESULT {jax.process_index()} {int(state.step)} {float(np.sum(w0)):.8f}",
+      flush=True)
+"""
+
+
+def _run_pair(env_extra, repo, port):
+    env_base = dict(os.environ)
+    env_base["COORD"] = f"127.0.0.1:{port}"
+    env_base["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env_base.pop("JAX_PLATFORMS", None)
+    env_base.update(env_extra)
+    procs = []
+    for pid in (0, 1):
+        env = dict(env_base, PROC_ID=str(pid))
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", RECOVERY_WORKER], env=env, cwd=repo,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        ))
+    results = {}
+    for p in procs:
+        out, err = p.communicate(timeout=150)
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        for line in out.splitlines():
+            if line.startswith("RESULT"):
+                _, pid, step_n, wsum = line.split()
+                results[int(pid)] = (int(step_n), float(wsum))
+    return results
+
+
+def test_checkpoint_restart_recovery(tmp_path):
+    """Fail-stop recovery (SURVEY.md §5.3): a 2-process job that dies after
+    3 steps and restarts from its checkpoint must reproduce the
+    uninterrupted 6-step run exactly."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ckpt_a = str(tmp_path / "a")
+    ckpt_b = str(tmp_path / "b")
+
+    # uninterrupted 6-step run
+    r_full = _run_pair(
+        {"CKPT_DIR": ckpt_a, "STEPS": "6", "SAVE": "0"}, repo, _free_port()
+    )
+    # 3 steps -> "crash" (clean exit after checkpoint) -> restart -> 3 more
+    _run_pair({"CKPT_DIR": ckpt_b, "STEPS": "3", "SAVE": "1"},
+              repo, _free_port())
+    r_resumed = _run_pair(
+        {"CKPT_DIR": ckpt_b, "STEPS": "3", "SAVE": "0", "RESUME": "1"},
+        repo, _free_port(),
+    )
+    assert r_full[0][0] == 6 and r_resumed[0][0] == 6
+    assert r_full[0][1] == pytest.approx(r_resumed[0][1], rel=1e-6)
+    assert r_resumed[0][1] == pytest.approx(r_resumed[1][1], rel=1e-6)
