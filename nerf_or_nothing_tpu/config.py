@@ -105,6 +105,11 @@ class Config:
 
     # ---- TPU execution (new; no reference equivalent — SURVEY.md §2.11) ----
     use_pallas: bool = True         # fused Pallas kernels on the hot path
+    # Compute the IPE inside the Pallas kernel too. Measured SLOWER on v5e
+    # (16.6 vs 11.0 ms/step at batch 1024: Mosaic's lane utilization on the
+    # 3-wide encode inputs loses more than the skipped HBM round trip
+    # saves), so off by default; kept as an option for other chip gens.
+    fuse_ipe: bool = False
     debug_nans: bool = False        # jax_debug_nans sanitizer mode (§5.2)
     compute_dtype: str = "bfloat16"  # MXU-friendly; params/accum stay f32
     mesh_shape: Sequence[int] = (1,)  # devices along the 'batch' axis

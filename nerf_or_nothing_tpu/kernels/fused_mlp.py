@@ -161,33 +161,10 @@ def _fwd_kernel(cfg: Config, dt, s: int, *refs):
     den_ref[...] = raw_density
 
 
-def _bwd_kernel(cfg: Config, dt, s: int, *refs):
-    """Recompute-forward + full reverse pass for one row tile.
-
-    Grid-step accumulation: dW/db out blocks have a constant index map, so
+def _make_acc():
+    """Grid-step accumulator: dW/db out blocks have a constant index map, so
     they stay in VMEM across the sequential grid; step 0 initializes, later
-    steps add (deterministic — SURVEY.md §5.2).
-    """
-    n_layers = len(layer_dims(cfg))
-    D, Dc = cfg.net_depth, cfg.net_depth_condition
-    skip = cfg.skip_layer
-    nw = cfg.net_width
-
-    x_ref, d_ref, grgb_ref, gden_ref = refs[:4]
-    w_refs = refs[4 : 4 + n_layers]
-    b_refs = refs[4 + n_layers : 4 + 2 * n_layers]
-    out = refs[4 + 2 * n_layers :]
-    dw_refs = out[:n_layers]
-    db_refs = out[n_layers : 2 * n_layers]
-    dx_ref, dd_ref = out[2 * n_layers], out[2 * n_layers + 1]
-
-    x = x_ref[...]
-    d = d_ref[...]
-    ws = [w[...] for w in w_refs]
-    bs = [b[...] for b in b_refs]
-
-    _, _, hs, vs = _forward_tile(cfg, dt, s, x, d, ws, bs)
-
+    steps add (deterministic — SURVEY.md §5.2)."""
     is_first = pl.program_id(0) == 0
 
     def acc(ref, val):
@@ -199,8 +176,18 @@ def _bwd_kernel(cfg: Config, dt, s: int, *refs):
         def _():
             ref[...] = ref[...] + val
 
-    g_rgb = grgb_ref[...]
-    g_den = gden_ref[...]
+    return acc
+
+
+def _backward_tile(cfg, dt, s, x, d, ws, bs, g_rgb, g_den, acc,
+                   dw_refs, db_refs, want_dx=True):
+    """Recompute-forward + full reverse pass for one row tile; returns
+    (g_x or None, g_d per ray)."""
+    D, Dc = cfg.net_depth, cfg.net_depth_condition
+    skip = cfg.skip_layer
+    nw = cfg.net_width
+
+    _, _, hs, vs = _forward_tile(cfg, dt, s, x, d, ws, bs)
 
     # ---- rgb head ----
     i_rgb = D + 1 + Dc
@@ -247,7 +234,7 @@ def _bwd_kernel(cfg: Config, dt, s: int, *refs):
     g = g + _mm_nt(g_den, ws[D], dt)
 
     # ---- trunk reversed ----
-    g_x = jnp.zeros_like(x)
+    g_x = jnp.zeros_like(x) if want_dx else None
     for i in range(D - 1, -1, -1):
         g = g * (hs[i].astype(jnp.float32) > 0.0)
         h_in = hs[i - 1] if i > 0 else x
@@ -259,14 +246,35 @@ def _bwd_kernel(cfg: Config, dt, s: int, *refs):
                 ),
             )
             acc(db_refs[i], jnp.sum(g, axis=0, keepdims=True))
-            g_x = g_x + _mm_nt(g, ws[i][nw:, :], dt)
+            if want_dx:
+                g_x = g_x + _mm_nt(g, ws[i][nw:, :], dt)
             g = _mm_nt(g, ws[i][:nw, :], dt)
         else:
             acc(dw_refs[i], _mm_tn(h_in, g, dt))
             acc(db_refs[i], jnp.sum(g, axis=0, keepdims=True))
-            g = _mm_nt(g, ws[i], dt)
-    g_x = g_x + g  # layer 0's input IS x
+            if i > 0 or want_dx:
+                g = _mm_nt(g, ws[i], dt)
+    if want_dx:
+        g_x = g_x + g  # layer 0's input IS x
+    return g_x, g_d
 
+
+def _bwd_kernel(cfg: Config, dt, s: int, *refs):
+    n_layers = len(layer_dims(cfg))
+    x_ref, d_ref, grgb_ref, gden_ref = refs[:4]
+    w_refs = refs[4 : 4 + n_layers]
+    b_refs = refs[4 + n_layers : 4 + 2 * n_layers]
+    out = refs[4 + 2 * n_layers :]
+    dw_refs = out[:n_layers]
+    db_refs = out[n_layers : 2 * n_layers]
+    dx_ref, dd_ref = out[2 * n_layers], out[2 * n_layers + 1]
+
+    g_x, g_d = _backward_tile(
+        cfg, dt, s, x_ref[...], d_ref[...],
+        [w[...] for w in w_refs], [b[...] for b in b_refs],
+        grgb_ref[...], gden_ref[...], _make_acc(), dw_refs, db_refs,
+        want_dx=True,
+    )
     dx_ref[...] = g_x
     dd_ref[...] = g_d
 

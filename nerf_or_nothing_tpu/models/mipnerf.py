@@ -57,8 +57,18 @@ def render_rays(
         (raw_rgb, raw_density).
     """
     dt = _compute_dtype(cfg)
+    fused_encode = None
     if mlp_apply is None:
-        if cfg.use_pallas:
+        if cfg.use_pallas and cfg.fuse_ipe:
+            # Fully fused path: IPE computed inside the kernel — the
+            # [rays*samples, 96] feature tensor never exists in HBM.
+            # (Off by default: measured slower on v5e, see Config.fuse_ipe.)
+            from nerf_or_nothing_tpu.kernels.fused_ipe_mlp import (
+                fused_ipe_mlp_apply,
+            )
+
+            fused_encode = fused_ipe_mlp_apply
+        elif cfg.use_pallas:
             from nerf_or_nothing_tpu.kernels.fused_mlp import fused_mlp_apply
 
             mlp_apply = fused_mlp_apply
@@ -101,19 +111,22 @@ def render_rays(
                 stop_grad=cfg.stop_level_grad,
             )
 
-        x_enc = ipe.integrated_pos_enc(
-            (means, covs), cfg.min_deg_point, cfg.max_deg_point
-        )
-
-        apply_fn = mlp_apply
-        if cfg.remat:
-            apply_fn = jax.checkpoint(
-                lambda p, x, d: mlp_apply(p, cfg, x, d),
-                static_argnums=(),
+        if fused_encode is not None:
+            raw_rgb, raw_density = fused_encode(
+                params, cfg, means, covs, dir_enc
             )
-            raw_rgb, raw_density = apply_fn(params, x_enc, dir_enc)
         else:
-            raw_rgb, raw_density = apply_fn(params, cfg, x_enc, dir_enc)
+            x_enc = ipe.integrated_pos_enc(
+                (means, covs), cfg.min_deg_point, cfg.max_deg_point
+            )
+            if cfg.remat:
+                apply_fn = jax.checkpoint(
+                    lambda p, x, d: mlp_apply(p, cfg, x, d),
+                    static_argnums=(),
+                )
+                raw_rgb, raw_density = apply_fn(params, x_enc, dir_enc)
+            else:
+                raw_rgb, raw_density = mlp_apply(params, cfg, x_enc, dir_enc)
 
         rgb = jax.nn.sigmoid(raw_rgb)
         rgb = rgb * (1.0 + 2.0 * cfg.rgb_padding) - cfg.rgb_padding
