@@ -40,8 +40,8 @@ def main():
     # 1024 rays = the reference GPU path's batch (helpers.h:18); also keeps
     # first-compile time tolerable on tunneled TPU runners (~400 s cold).
     parser.add_argument("--batch-size", type=int, default=1024)
-    parser.add_argument("--steps", type=int, default=20)
-    parser.add_argument("--warmup", type=int, default=3)
+    parser.add_argument("--steps", type=int, default=100)
+    parser.add_argument("--warmup", type=int, default=10)
     args = parser.parse_args()
 
     import jax

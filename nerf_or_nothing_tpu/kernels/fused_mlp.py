@@ -25,8 +25,11 @@ output scalar, 12 kernel launches with a ``cudaDeviceSynchronize`` after each,
   execute sequentially, so accumulation order is deterministic, unlike the
   reference's ``atomicAdd`` backward (accelerated_functions.cu:105-181)
   whose gradients are nondeterministic.
-- Input gradients (d_x_enc, d_dir_enc) are exact and nearly free: the
-  transposed matmuls are already needed to chain dW to earlier layers.
+- Input gradients (d_x_enc, d_dir_enc) are exact when requested: the
+  transposed matmuls are already needed to chain dW to earlier layers. When
+  the caller proves they are unused (``input_grads=False`` — training with
+  ``stop_level_grad``, where sampling depends only on ray constants), their
+  matmuls and HBM writes are statically elided (~6% off the backward).
 
 The Adam update is NOT folded in here (the reference fuses it to save kernel
 launches, accelerated_functions.cu:403): under XLA the whole elementwise
@@ -56,96 +59,125 @@ from nerf_or_nothing_tpu.models.mlp import Params, layer_dims
 # so it can run bigger tiles (larger MXU ops); the backward holds every
 # layer's bf16 activations + the f32 dW accumulators resident, capping it
 # lower (at 8x256 defaults: ~6 MB acts + 2 MB dW + 1 MB weights at 1024).
-DEFAULT_TILE_FWD = 2048
+# Values picked by an on-chip v5e sweep (tiles 1024-16384, interleave 1-4).
+DEFAULT_TILE_FWD = 4096
 DEFAULT_TILE_BWD = 2048
+DEFAULT_INTERLEAVE = 4
 
 
-def _mm(a, b, dt):
-    """a @ b on the MXU in compute dtype with f32 accumulation."""
+def _mm(a, b, dt, out_dt=jnp.float32):
+    """a @ b on the MXU in compute dtype with f32 accumulation.
+
+    (out_dt must stay f32 on current Mosaic: `tpu.matmul` rejects non-32-bit
+    accumulators, so bf16 results need an explicit post-cast.)"""
     return jax.lax.dot_general(
         a.astype(dt), b.astype(dt),
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=out_dt,
     )
 
 
-def _mm_tn(a, b, dt):
+def _mm_tn(a, b, dt, out_dt=jnp.float32):
     """a.T @ b without materializing the transpose (contract over rows)."""
     return jax.lax.dot_general(
         a.astype(dt), b.astype(dt),
         dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=out_dt,
     )
 
 
-def _mm_nt(a, b, dt):
+def _mm_nt(a, b, dt, out_dt=jnp.float32):
     """a @ b.T without materializing the transpose (contract over cols)."""
     return jax.lax.dot_general(
         a.astype(dt), b.astype(dt),
         dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=out_dt,
     )
 
 
-def _forward_tile(cfg: Config, dt, s: int, x, d, ws, bs):
-    """Shared fwd math on one row tile; returns (raw_rgb, raw_density, acts).
+def _forward_chunks(cfg: Config, dt, s: int, xs, ds, ws, bs):
+    """Shared fwd math on a LIST of independent row chunks.
 
-    acts = list of post-ReLU trunk activations h_0..h_{D-1} plus view-branch
-    activations, stored in the compute dtype (bf16) — they feed matmuls
-    (which take bf16 operands anyway) and ReLU masks, so keeping them f32
-    would only double VMEM. Heads stay f32 (the f32 accumulator + bias).
+    Each layer is computed for every chunk before moving to the next layer —
+    consecutive MXU ops are then independent, so the systolic-array fill of
+    chunk c+1's layer-i matmul overlaps the drain of chunk c's (a single
+    row tile is a chain of 13 *dependent* matmuls whose pipeline bubbles
+    cost ~15% at these shapes).
 
-    ``d`` is PER-RAY: [tile/s, Fd] with ``s`` samples per ray. Its view-layer
-    contribution ``d @ W_bot`` is computed once per ray and broadcast to the
-    ray's rows in VMEM — the reference encodes the direction once per ray
-    too (MipNerfModel.cs:70), but the unfused path materializes the
-    [rays*samples, Fd] broadcast through HBM.
+    acts = per-chunk lists of post-ReLU trunk activations h_0..h_{D-1} plus
+    view-branch activations, stored in the compute dtype (bf16) — they feed
+    matmuls (which take bf16 operands anyway) and ReLU masks, so keeping
+    them f32 would only double VMEM. Heads stay f32 (f32 accumulator+bias).
+
+    ``ds`` chunks are PER-RAY: [chunk/s, Fd] with ``s`` samples per ray. The
+    view-layer contribution ``d @ W_bot`` is computed once per ray and
+    broadcast to the ray's rows in VMEM — the reference encodes the
+    direction once per ray too (MipNerfModel.cs:70), but the unfused path
+    materializes the [rays*samples, Fd] broadcast through HBM.
     """
     D, Dc = cfg.net_depth, cfg.net_depth_condition
     skip = cfg.skip_layer
     nw = cfg.net_width
+    C = len(xs)
 
-    x = x.astype(dt)
-    d = d.astype(dt)
+    xs = [x.astype(dt) for x in xs]
+    ds = [d.astype(dt) for d in ds]
 
-    hs: List[Any] = []
-    h = x
+    hs: List[List[Any]] = [[] for _ in range(C)]
+    hcur = list(xs)
     for i in range(D):
         w, b = ws[i], bs[i]
-        if i % skip == 0 and i > 0:
-            # concat(h, x) @ w == h @ w_top + x @ w_bot
-            z = _mm(h, w[:nw, :], dt) + _mm(x, w[nw:, :], dt) + b
-        elif i == 0:
-            z = _mm(x, w, dt) + b
-        else:
-            z = _mm(h, w, dt) + b
-        h = jnp.maximum(z, 0.0).astype(dt)
-        hs.append(h)
+        for c in range(C):
+            if i % skip == 0 and i > 0:
+                # concat(h, x) @ w == h @ w_top + x @ w_bot
+                z = (_mm(hcur[c], w[:nw, :], dt)
+                     + _mm(xs[c], w[nw:, :], dt) + b)
+            elif i == 0:
+                z = _mm(xs[c], w, dt) + b
+            else:
+                z = _mm(hcur[c], w, dt) + b
+            hcur[c] = jnp.maximum(z, 0.0).astype(dt)
+            hs[c].append(hcur[c])
 
-    raw_density = _mm(h, ws[D], dt) + bs[D]
+    raw_density = [_mm(hcur[c], ws[D], dt) + bs[D] for c in range(C)]
 
-    hv = h
-    vs: List[Any] = []
-    tile = x.shape[0]
+    hv = list(hcur)
+    vs: List[List[Any]] = [[] for _ in range(C)]
     for j in range(Dc):
         w, b = ws[D + 1 + j], bs[D + 1 + j]
-        if j == 0:
-            dc = _mm(d, w[nw:, :], dt)  # [tile/s, nwc], once per ray
-            if s > 1:
-                dc = jnp.broadcast_to(
-                    dc[:, None, :], (tile // s, s, dc.shape[-1])
-                ).reshape(tile, dc.shape[-1])
-            z = _mm(hv, w[:nw, :], dt) + dc + b
-        else:
-            z = _mm(hv, w, dt) + b
-        hv = jnp.maximum(z, 0.0).astype(dt)
-        vs.append(hv)
+        for c in range(C):
+            if j == 0:
+                dc = _mm(ds[c], w[nw:, :], dt)  # [chunk/s, nwc], per ray
+                chunk = xs[c].shape[0]
+                if s > 1:
+                    dc = jnp.broadcast_to(
+                        dc[:, None, :], (chunk // s, s, dc.shape[-1])
+                    ).reshape(chunk, dc.shape[-1])
+                z = _mm(hv[c], w[:nw, :], dt) + dc + b
+            else:
+                z = _mm(hv[c], w, dt) + b
+            hv[c] = jnp.maximum(z, 0.0).astype(dt)
+            vs[c].append(hv[c])
 
-    raw_rgb = _mm(hv, ws[D + 1 + Dc], dt) + bs[D + 1 + Dc]
+    raw_rgb = [_mm(hv[c], ws[D + 1 + Dc], dt) + bs[D + 1 + Dc]
+               for c in range(C)]
     return raw_rgb, raw_density, hs, vs
 
 
-def _fwd_kernel(cfg: Config, dt, s: int, *refs):
+def _split_rows(a, n: int):
+    if n == 1:
+        return [a]
+    chunk = a.shape[0] // n
+    return [a[i * chunk : (i + 1) * chunk] for i in range(n)]
+
+
+def _forward_tile(cfg: Config, dt, s: int, x, d, ws, bs):
+    """Single-chunk fwd on one row tile (the bwd recompute path)."""
+    rgb, den, hs, vs = _forward_chunks(cfg, dt, s, [x], [d], ws, bs)
+    return rgb[0], den[0], hs[0], vs[0]
+
+
+def _fwd_kernel(cfg: Config, dt, s: int, interleave: int, *refs):
     n_layers = len(layer_dims(cfg))
     x_ref, d_ref = refs[0], refs[1]
     w_refs = refs[2 : 2 + n_layers]
@@ -154,11 +186,14 @@ def _fwd_kernel(cfg: Config, dt, s: int, *refs):
 
     ws = [w[...] for w in w_refs]
     bs = [b[...] for b in b_refs]
-    raw_rgb, raw_density, _, _ = _forward_tile(
-        cfg, dt, s, x_ref[...], d_ref[...], ws, bs
+    raw_rgb, raw_density, _, _ = _forward_chunks(
+        cfg, dt, s,
+        _split_rows(x_ref[...], interleave),
+        _split_rows(d_ref[...], interleave),
+        ws, bs,
     )
-    rgb_ref[...] = raw_rgb
-    den_ref[...] = raw_density
+    rgb_ref[...] = jnp.concatenate(raw_rgb, axis=0)
+    den_ref[...] = jnp.concatenate(raw_density, axis=0)
 
 
 def _make_acc():
@@ -180,21 +215,35 @@ def _make_acc():
 
 
 def _backward_tile(cfg, dt, s, x, d, ws, bs, g_rgb, g_den, acc,
-                   dw_refs, db_refs, want_dx=True):
+                   dw_refs, db_refs, want_dx=True, want_dd=True):
     """Recompute-forward + full reverse pass for one row tile; returns
-    (g_x or None, g_d per ray)."""
+    (g_x or None, g_d per ray or None).
+
+    ``want_dx``/``want_dd`` statically elide the encoded-input cotangent
+    math (layer-0 and skip-layer dX matmuls, the per-ray dD matmul, and
+    their HBM writes) — used when the caller proves those cotangents are
+    unused (training with ``stop_level_grad``: sampling depends only on ray
+    constants, so dL/d(x_enc) never reaches a parameter; the reference's
+    backward likewise drops encoded-input grads,
+    accelerated_functions.cu:154-182)."""
     D, Dc = cfg.net_depth, cfg.net_depth_condition
     skip = cfg.skip_layer
     nw = cfg.net_width
 
     _, _, hs, vs = _forward_tile(cfg, dt, s, x, d, ws, bs)
 
+    def db(g):
+        # bias grads reduce over up to thousands of rows: accumulate f32
+        return jnp.sum(g, axis=0, keepdims=True, dtype=jnp.float32)
+
     # ---- rgb head ----
     i_rgb = D + 1 + Dc
     hv_last = vs[-1]
     acc(dw_refs[i_rgb], _mm_tn(hv_last, g_rgb, dt))
-    acc(db_refs[i_rgb], jnp.sum(g_rgb, axis=0, keepdims=True))
-    g = _mm_nt(g_rgb, ws[i_rgb], dt)
+    acc(db_refs[i_rgb], db(g_rgb))
+    # the g chain itself runs in the compute dtype (its operands are cast
+    # to dt before every MXU op anyway); dW/db accumulate in f32
+    g = _mm_nt(g_rgb, ws[i_rgb], dt).astype(dt)
 
     # ---- view branch reversed ----
     tile = x.shape[0]
@@ -210,7 +259,8 @@ def _backward_tile(cfg, dt, s, x, d, ws, bs, g_rgb, g_den, acc,
             # matmuls instead of [tile]-sized broadcast ones.
             if s > 1:
                 g_ray = jnp.sum(
-                    g.reshape(tile // s, s, g.shape[-1]), axis=1
+                    g.reshape(tile // s, s, g.shape[-1]), axis=1,
+                    dtype=jnp.float32,
                 )
             else:
                 g_ray = g
@@ -220,18 +270,19 @@ def _backward_tile(cfg, dt, s, x, d, ws, bs, g_rgb, g_den, acc,
                     [_mm_tn(h_in, g, dt), _mm_tn(d, g_ray, dt)], axis=0
                 ),
             )
-            acc(db_refs[i], jnp.sum(g, axis=0, keepdims=True))
-            g_d = _mm_nt(g_ray, ws[i][nw:, :], dt)
-            g = _mm_nt(g, ws[i][:nw, :], dt)
+            acc(db_refs[i], db(g))
+            if want_dd:
+                g_d = _mm_nt(g_ray, ws[i][nw:, :], dt)
+            g = _mm_nt(g, ws[i][:nw, :], dt).astype(dt)
         else:
             acc(dw_refs[i], _mm_tn(h_in, g, dt))
-            acc(db_refs[i], jnp.sum(g, axis=0, keepdims=True))
-            g = _mm_nt(g, ws[i], dt)
+            acc(db_refs[i], db(g))
+            g = _mm_nt(g, ws[i], dt).astype(dt)
 
     # ---- density head joins the trunk gradient (MLP.cs:148-153) ----
     acc(dw_refs[D], _mm_tn(hs[-1], g_den, dt))
-    acc(db_refs[D], jnp.sum(g_den, axis=0, keepdims=True))
-    g = g + _mm_nt(g_den, ws[D], dt)
+    acc(db_refs[D], db(g_den))
+    g = g + _mm_nt(g_den, ws[D], dt).astype(dt)
 
     # ---- trunk reversed ----
     g_x = jnp.zeros_like(x) if want_dx else None
@@ -245,21 +296,21 @@ def _backward_tile(cfg, dt, s, x, d, ws, bs, g_rgb, g_den, acc,
                     [_mm_tn(h_in, g, dt), _mm_tn(x, g, dt)], axis=0
                 ),
             )
-            acc(db_refs[i], jnp.sum(g, axis=0, keepdims=True))
+            acc(db_refs[i], db(g))
             if want_dx:
-                g_x = g_x + _mm_nt(g, ws[i][nw:, :], dt)
-            g = _mm_nt(g, ws[i][:nw, :], dt)
+                g_x = g_x + _mm_nt(g, ws[i][nw:, :], dt).astype(dt)
+            g = _mm_nt(g, ws[i][:nw, :], dt).astype(dt)
         else:
             acc(dw_refs[i], _mm_tn(h_in, g, dt))
-            acc(db_refs[i], jnp.sum(g, axis=0, keepdims=True))
+            acc(db_refs[i], db(g))
             if i > 0 or want_dx:
-                g = _mm_nt(g, ws[i], dt)
+                g = _mm_nt(g, ws[i], dt).astype(dt)
     if want_dx:
         g_x = g_x + g  # layer 0's input IS x
     return g_x, g_d
 
 
-def _bwd_kernel(cfg: Config, dt, s: int, *refs):
+def _bwd_kernel(cfg: Config, dt, s: int, input_grads: bool, *refs):
     n_layers = len(layer_dims(cfg))
     x_ref, d_ref, grgb_ref, gden_ref = refs[:4]
     w_refs = refs[4 : 4 + n_layers]
@@ -267,16 +318,17 @@ def _bwd_kernel(cfg: Config, dt, s: int, *refs):
     out = refs[4 + 2 * n_layers :]
     dw_refs = out[:n_layers]
     db_refs = out[n_layers : 2 * n_layers]
-    dx_ref, dd_ref = out[2 * n_layers], out[2 * n_layers + 1]
 
     g_x, g_d = _backward_tile(
         cfg, dt, s, x_ref[...], d_ref[...],
         [w[...] for w in w_refs], [b[...] for b in b_refs],
         grgb_ref[...], gden_ref[...], _make_acc(), dw_refs, db_refs,
-        want_dx=True,
+        want_dx=input_grads, want_dd=input_grads,
     )
-    dx_ref[...] = g_x
-    dd_ref[...] = g_d
+    if input_grads:
+        dx_ref, dd_ref = out[2 * n_layers], out[2 * n_layers + 1]
+        dx_ref[...] = g_x.astype(dx_ref.dtype)
+        dd_ref[...] = g_d.astype(dd_ref.dtype)
 
 
 def _pad_rows(a: jnp.ndarray, tile: int) -> jnp.ndarray:
@@ -310,8 +362,11 @@ def _interpret() -> bool:
     return jax.default_backend() not in ("tpu", "axon")
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "tile", "s"))
-def _fused_mlp_fwd_impl(params, x, d, *, cfg: Config, tile: int, s: int = 1):
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "tile", "s", "interleave")
+)
+def _fused_mlp_fwd_impl(params, x, d, *, cfg: Config, tile: int, s: int = 1,
+                        interleave: int = 1):
     n = x.shape[0]
     dims, w_specs, b_specs = _weight_specs(cfg)
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
@@ -337,7 +392,7 @@ def _fused_mlp_fwd_impl(params, x, d, *, cfg: Config, tile: int, s: int = 1):
     ]
     flops_rows = 2 * sum(i * o for i, o in dims)
     raw_rgb, raw_den = pl.pallas_call(
-        functools.partial(_fwd_kernel, cfg, dt, s),
+        functools.partial(_fwd_kernel, cfg, dt, s, interleave),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -351,6 +406,11 @@ def _fused_mlp_fwd_impl(params, x, d, *, cfg: Config, tile: int, s: int = 1):
             bytes_accessed=n_pad * (x.shape[1] + d.shape[1] + 4) * 4,
             transcendentals=0,
         ),
+        # Large row tiles (bigger MXU ops) need more than the conservative
+        # 16 MB default scoped-VMEM cap; v5e has 128 MB per core.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=_interpret(),
     )(
         xp, dp,
@@ -362,9 +422,11 @@ def _fused_mlp_fwd_impl(params, x, d, *, cfg: Config, tile: int, s: int = 1):
     return raw_rgb[:n], raw_den[:n]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "tile", "s"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "tile", "s", "input_grads")
+)
 def _fused_mlp_bwd_impl(params, x, d, g_rgb, g_den, *, cfg: Config,
-                        tile: int, s: int = 1):
+                        tile: int, s: int = 1, input_grads: bool = True):
     n = x.shape[0]
     dims, w_specs, b_specs = _weight_specs(cfg)
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
@@ -389,20 +451,25 @@ def _fused_mlp_bwd_impl(params, x, d, g_rgb, g_den, *, cfg: Config,
         *b_specs,
     ]
     # dW/db accumulate in place across the sequential grid.
-    out_specs = [*w_specs, *b_specs,
-                 pl.BlockSpec((tile, x.shape[1]), lambda i: (i, 0),
-                              memory_space=pltpu.VMEM),
-                 pl.BlockSpec((tile // s, d.shape[1]), lambda i: (i, 0),
-                              memory_space=pltpu.VMEM)]
+    out_specs = [*w_specs, *b_specs]
     out_shape = (
         [jax.ShapeDtypeStruct((i, o), jnp.float32) for i, o in dims]
         + [jax.ShapeDtypeStruct((1, o), jnp.float32) for _, o in dims]
-        + [jax.ShapeDtypeStruct((n_pad, x.shape[1]), jnp.float32),
-           jax.ShapeDtypeStruct((n_pad // s, d.shape[1]), jnp.float32)]
     )
+    if input_grads:
+        out_specs += [
+            pl.BlockSpec((tile, x.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile // s, d.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_shape += [
+            jax.ShapeDtypeStruct((n_pad, x.shape[1]), jnp.float32),
+            jax.ShapeDtypeStruct((n_pad // s, d.shape[1]), jnp.float32),
+        ]
     flops_rows = 3 * 2 * sum(i * o for i, o in dims)
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, cfg, dt, s),
+        functools.partial(_bwd_kernel, cfg, dt, s, input_grads),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -415,7 +482,7 @@ def _fused_mlp_bwd_impl(params, x, d, g_rgb, g_den, *, cfg: Config,
         # bf16 activations + f32 dW accumulators at tile 1024 need ~17 MB;
         # raise the scoped-VMEM cap above the conservative 16 MB default.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024,
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=_interpret(),
     )(
@@ -426,9 +493,15 @@ def _fused_mlp_bwd_impl(params, x, d, g_rgb, g_den, *, cfg: Config,
     n_layers = len(dims)
     dws = outs[:n_layers]
     dbs = [b[0] for b in outs[n_layers : 2 * n_layers]]
-    dx = outs[2 * n_layers][:n]
-    dd = outs[2 * n_layers + 1][: n // s]
     d_params = [(dw, db) for dw, db in zip(dws, dbs)]
+    if input_grads:
+        dx = outs[2 * n_layers][:n]
+        dd = outs[2 * n_layers + 1][: n // s]
+    else:
+        # Cotangents proven unused upstream: symbolic zeros (XLA folds the
+        # dependent IPE/PE backward chains away entirely).
+        dx = jnp.zeros((n, x.shape[1]), x.dtype)
+        dd = jnp.zeros((n // s, d.shape[1]), d.dtype)
     return d_params, dx, dd
 
 
@@ -437,24 +510,29 @@ def _fused_mlp_bwd_impl(params, x, d, g_rgb, g_den, *, cfg: Config,
 # ----------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
 def _fused_apply(params, x2d, d2d, cfg: Config, tile_fwd: int,
-                 tile_bwd: int, s: int):
-    return _fused_mlp_fwd_impl(params, x2d, d2d, cfg=cfg, tile=tile_fwd, s=s)
+                 tile_bwd: int, s: int, input_grads: bool, interleave: int):
+    return _fused_mlp_fwd_impl(params, x2d, d2d, cfg=cfg, tile=tile_fwd,
+                               s=s, interleave=interleave)
 
 
-def _fused_apply_fwd(params, x2d, d2d, cfg, tile_fwd, tile_bwd, s):
-    out = _fused_mlp_fwd_impl(params, x2d, d2d, cfg=cfg, tile=tile_fwd, s=s)
+def _fused_apply_fwd(params, x2d, d2d, cfg, tile_fwd, tile_bwd, s,
+                     input_grads, interleave):
+    out = _fused_mlp_fwd_impl(params, x2d, d2d, cfg=cfg, tile=tile_fwd,
+                              s=s, interleave=interleave)
     return out, (params, x2d, d2d)
 
 
-def _fused_apply_bwd(cfg, tile_fwd, tile_bwd, s, res, grads):
+def _fused_apply_bwd(cfg, tile_fwd, tile_bwd, s, input_grads, interleave,
+                     res, grads):
     params, x2d, d2d = res
     g_rgb, g_den = grads
     d_params, dx, dd = _fused_mlp_bwd_impl(
-        params, x2d, d2d, g_rgb, g_den, cfg=cfg, tile=tile_bwd, s=s
+        params, x2d, d2d, g_rgb, g_den, cfg=cfg, tile=tile_bwd, s=s,
+        input_grads=input_grads,
     )
-    return d_params, dx, dd
+    return d_params, dx.astype(x2d.dtype), dd.astype(d2d.dtype)
 
 
 _fused_apply.defvjp(_fused_apply_fwd, _fused_apply_bwd)
@@ -462,11 +540,16 @@ _fused_apply.defvjp(_fused_apply_fwd, _fused_apply_bwd)
 
 def fused_mlp_apply(params: Params, cfg: Config, x: jnp.ndarray,
                     dir_enc: jnp.ndarray, tile: int | None = None,
-                    tile_bwd: int | None = None):
+                    tile_bwd: int | None = None, input_grads: bool = True):
     """Drop-in replacement for ``models.mlp.apply_mlp`` (same signature).
 
     Args:
       x: [..., S, location_features]; dir_enc: [..., direction_features].
+      input_grads: when False, the backward statically skips the dX/dD
+        cotangent math and returns zeros for them — ONLY valid when the
+        caller proves those cotangents cannot reach a differentiated leaf
+        (training with ``stop_level_grad``, where sampling depends only on
+        ray constants).
     Returns:
       raw_rgb [..., S, 3], raw_density [..., S, 1], f32.
     """
@@ -475,22 +558,32 @@ def fused_mlp_apply(params: Params, cfg: Config, x: jnp.ndarray,
     n = int(np.prod(lead))
     num_samples = x.shape[-2]
     num_rays = n // num_samples
-    x2d = x.reshape(n, feat)
+    dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    # Cast inputs to the compute dtype up front: the kernels cast tiles to
+    # ``dt`` anyway, so this is numerically identical, but it halves the
+    # HBM traffic for the inputs and for the residuals the VJP saves.
+    x2d = x.reshape(n, feat).astype(dt)
     tile_fwd = tile or DEFAULT_TILE_FWD
     tile_bwd = tile_bwd or tile or DEFAULT_TILE_BWD
+    # Interleaved chunks must also cover whole rays (per-ray d broadcast).
+    interleave = DEFAULT_INTERLEAVE
+    while interleave > 1 and (
+        tile_fwd % interleave or (tile_fwd // interleave) % num_samples
+    ):
+        interleave //= 2
     if tile_fwd % num_samples == 0 and tile_bwd % num_samples == 0:
         # Per-ray d: rows are ray-major, so a tile covers whole rays and
         # the kernel broadcasts the per-ray view contribution in VMEM.
         s = num_samples
-        d2d = dir_enc.reshape(num_rays, dir_enc.shape[-1])
+        d2d = dir_enc.reshape(num_rays, dir_enc.shape[-1]).astype(dt)
     else:
         # Fallback for shapes where tiles straddle rays: pre-broadcast.
         s = 1
         d2d = jnp.broadcast_to(
             dir_enc[..., None, :], (*lead, dir_enc.shape[-1])
-        ).reshape(n, dir_enc.shape[-1])
+        ).reshape(n, dir_enc.shape[-1]).astype(dt)
     raw_rgb, raw_den = _fused_apply(
-        params, x2d, d2d, cfg, tile_fwd, tile_bwd, s
+        params, x2d, d2d, cfg, tile_fwd, tile_bwd, s, input_grads, interleave
     )
     return (
         raw_rgb.reshape(*lead, cfg.num_rgb_channels),

@@ -58,6 +58,7 @@ def render_rays(
     """
     dt = _compute_dtype(cfg)
     fused_encode = None
+    fused_kernel = False
     if mlp_apply is None:
         if cfg.use_pallas and cfg.fuse_ipe:
             # Fully fused path: IPE computed inside the kernel — the
@@ -72,6 +73,7 @@ def render_rays(
             from nerf_or_nothing_tpu.kernels.fused_mlp import fused_mlp_apply
 
             mlp_apply = fused_mlp_apply
+            fused_kernel = True
         else:
             def mlp_apply(p, c, x, d):
                 return mlp_lib.apply_mlp(p, c, x, d, compute_dtype=dt)
@@ -119,14 +121,25 @@ def render_rays(
             x_enc = ipe.integrated_pos_enc(
                 (means, covs), cfg.min_deg_point, cfg.max_deg_point
             )
+            kwargs = {}
+            if fused_kernel:
+                # dX/dD cotangents can only reach params through the
+                # resampling chain of a later level; statically elide them
+                # whenever that path cannot exist (level 0's sampling is
+                # ray-constant; stop_level_grad cuts it for level > 0).
+                kwargs["input_grads"] = (
+                    i_level > 0 and not cfg.stop_level_grad
+                )
             if cfg.remat:
                 apply_fn = jax.checkpoint(
-                    lambda p, x, d: mlp_apply(p, cfg, x, d),
+                    lambda p, x, d: mlp_apply(p, cfg, x, d, **kwargs),
                     static_argnums=(),
                 )
                 raw_rgb, raw_density = apply_fn(params, x_enc, dir_enc)
             else:
-                raw_rgb, raw_density = mlp_apply(params, cfg, x_enc, dir_enc)
+                raw_rgb, raw_density = mlp_apply(
+                    params, cfg, x_enc, dir_enc, **kwargs
+                )
 
         rgb = jax.nn.sigmoid(raw_rgb)
         rgb = rgb * (1.0 + 2.0 * cfg.rgb_padding) - cfg.rgb_padding

@@ -189,12 +189,13 @@ def test_grad_clipping():
 
     g = [(jnp.full((4,), 10.0), jnp.full((2,), -10.0))]
     cfg = Config(grad_max_val=1.0)
-    clipped, norm, _ = clip_grads(g, cfg)
+    clipped, norm, _, gmax = clip_grads(g, cfg)
     assert bool(jnp.all(jnp.abs(clipped[0][0]) <= 1.0))
     cfg2 = Config(grad_max_norm=1.0)
-    clipped2, norm2, cn2 = clip_grads(g, cfg2)
+    clipped2, norm2, cn2, _ = clip_grads(g, cfg2)
     total = jnp.sqrt(sum(jnp.sum(x**2) for x in jax.tree.leaves(clipped2)))
     np.testing.assert_allclose(total, 1.0, rtol=1e-4)
+    assert float(gmax) <= 1.0
 
 
 def test_weight_decay_changes_gradient():
