@@ -63,6 +63,7 @@ from nerf_or_nothing_tpu.models.mlp import Params, layer_dims
 DEFAULT_TILE_FWD = 4096
 DEFAULT_TILE_BWD = 2048
 DEFAULT_INTERLEAVE = 4
+DEFAULT_INTERLEAVE_BWD = 2
 
 
 def _mm(a, b, dt, out_dt=jnp.float32):
@@ -214,10 +215,15 @@ def _make_acc():
     return acc
 
 
-def _backward_tile(cfg, dt, s, x, d, ws, bs, g_rgb, g_den, acc,
-                   dw_refs, db_refs, want_dx=True, want_dd=True):
-    """Recompute-forward + full reverse pass for one row tile; returns
-    (g_x or None, g_d per ray or None).
+def _backward_chunks(cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens, acc,
+                     dw_refs, db_refs, want_dx=True, want_dd=True):
+    """Recompute-forward + full reverse pass over a LIST of independent row
+    chunks; returns (list of g_x or None, list of per-ray g_d or None).
+
+    Like ``_forward_chunks``, each layer's matmuls run for every chunk
+    before moving on, so consecutive MXU ops are independent. The chunk
+    dW/db contributions are summed on the VPU (tiny [K,256] adds) before
+    one ``acc`` into the grid accumulator.
 
     ``want_dx``/``want_dd`` statically elide the encoded-input cotangent
     math (layer-0 and skip-layer dX matmuls, the per-ray dD matmul, and
@@ -229,88 +235,111 @@ def _backward_tile(cfg, dt, s, x, d, ws, bs, g_rgb, g_den, acc,
     D, Dc = cfg.net_depth, cfg.net_depth_condition
     skip = cfg.skip_layer
     nw = cfg.net_width
+    C = len(xs)
+    R = range(C)
 
-    _, _, hs, vs = _forward_tile(cfg, dt, s, x, d, ws, bs)
+    xs = [x.astype(dt) for x in xs]
+    _, _, hs, vs = _forward_chunks(cfg, dt, s, xs, ds, ws, bs)
 
-    def db(g):
+    def db(gs):
         # bias grads reduce over up to thousands of rows: accumulate f32
-        return jnp.sum(g, axis=0, keepdims=True, dtype=jnp.float32)
+        return sum(
+            jnp.sum(g, axis=0, keepdims=True, dtype=jnp.float32) for g in gs
+        )
+
+    def dw(h_ins, gs):
+        return sum(_mm_tn(h_ins[c], gs[c], dt) for c in R)
 
     # ---- rgb head ----
     i_rgb = D + 1 + Dc
-    hv_last = vs[-1]
-    acc(dw_refs[i_rgb], _mm_tn(hv_last, g_rgb, dt))
-    acc(db_refs[i_rgb], db(g_rgb))
+    acc(dw_refs[i_rgb], dw([vs[c][-1] for c in R], g_rgbs))
+    acc(db_refs[i_rgb], db(g_rgbs))
     # the g chain itself runs in the compute dtype (its operands are cast
     # to dt before every MXU op anyway); dW/db accumulate in f32
-    g = _mm_nt(g_rgb, ws[i_rgb], dt).astype(dt)
+    g = [_mm_nt(g_rgbs[c], ws[i_rgb], dt).astype(dt) for c in R]
 
     # ---- view branch reversed ----
-    tile = x.shape[0]
-    g_d = None
+    g_d = [None] * C
     for j in range(Dc - 1, -1, -1):
         i = D + 1 + j
         # compare in f32: Mosaic has no bf16 cmpf on v5e
-        g = g * (vs[j].astype(jnp.float32) > 0.0)
-        h_in = vs[j - 1] if j > 0 else hs[-1]
+        g = [g[c] * (vs[c][j].astype(jnp.float32) > 0.0) for c in R]
+        h_in = [vs[c][j - 1] if j > 0 else hs[c][-1] for c in R]
         if j == 0:
             # per-ray reduction first: sum_{rows of ray r} g gives both the
-            # d-block weight grad and the per-ray d grad with [tile/s]-sized
-            # matmuls instead of [tile]-sized broadcast ones.
+            # d-block weight grad and the per-ray d grad with [rows/s]-sized
+            # matmuls instead of [rows]-sized broadcast ones.
             if s > 1:
-                g_ray = jnp.sum(
-                    g.reshape(tile // s, s, g.shape[-1]), axis=1,
-                    dtype=jnp.float32,
-                )
+                g_ray = [
+                    jnp.sum(
+                        g[c].reshape(xs[c].shape[0] // s, s, g[c].shape[-1]),
+                        axis=1, dtype=jnp.float32,
+                    )
+                    for c in R
+                ]
             else:
                 g_ray = g
             acc(
                 dw_refs[i],
                 jnp.concatenate(
-                    [_mm_tn(h_in, g, dt), _mm_tn(d, g_ray, dt)], axis=0
+                    [dw(h_in, g),
+                     sum(_mm_tn(ds[c], g_ray[c], dt) for c in R)],
+                    axis=0,
                 ),
             )
             acc(db_refs[i], db(g))
             if want_dd:
-                g_d = _mm_nt(g_ray, ws[i][nw:, :], dt)
-            g = _mm_nt(g, ws[i][:nw, :], dt).astype(dt)
+                g_d = [_mm_nt(g_ray[c], ws[i][nw:, :], dt) for c in R]
+            g = [_mm_nt(g[c], ws[i][:nw, :], dt).astype(dt) for c in R]
         else:
-            acc(dw_refs[i], _mm_tn(h_in, g, dt))
+            acc(dw_refs[i], dw(h_in, g))
             acc(db_refs[i], db(g))
-            g = _mm_nt(g, ws[i], dt).astype(dt)
+            g = [_mm_nt(g[c], ws[i], dt).astype(dt) for c in R]
 
     # ---- density head joins the trunk gradient (MLP.cs:148-153) ----
-    acc(dw_refs[D], _mm_tn(hs[-1], g_den, dt))
-    acc(db_refs[D], db(g_den))
-    g = g + _mm_nt(g_den, ws[D], dt).astype(dt)
+    acc(dw_refs[D], dw([hs[c][-1] for c in R], g_dens))
+    acc(db_refs[D], db(g_dens))
+    g = [g[c] + _mm_nt(g_dens[c], ws[D], dt).astype(dt) for c in R]
 
     # ---- trunk reversed ----
-    g_x = jnp.zeros_like(x) if want_dx else None
+    g_x = [jnp.zeros_like(xs[c]) for c in R] if want_dx else [None] * C
     for i in range(D - 1, -1, -1):
-        g = g * (hs[i].astype(jnp.float32) > 0.0)
-        h_in = hs[i - 1] if i > 0 else x
+        g = [g[c] * (hs[c][i].astype(jnp.float32) > 0.0) for c in R]
+        h_in = [hs[c][i - 1] if i > 0 else xs[c] for c in R]
         if i % skip == 0 and i > 0:
             acc(
                 dw_refs[i],
-                jnp.concatenate(
-                    [_mm_tn(h_in, g, dt), _mm_tn(x, g, dt)], axis=0
-                ),
+                jnp.concatenate([dw(h_in, g), dw(xs, g)], axis=0),
             )
             acc(db_refs[i], db(g))
             if want_dx:
-                g_x = g_x + _mm_nt(g, ws[i][nw:, :], dt).astype(dt)
-            g = _mm_nt(g, ws[i][:nw, :], dt).astype(dt)
+                g_x = [
+                    g_x[c] + _mm_nt(g[c], ws[i][nw:, :], dt).astype(dt)
+                    for c in R
+                ]
+            g = [_mm_nt(g[c], ws[i][:nw, :], dt).astype(dt) for c in R]
         else:
-            acc(dw_refs[i], _mm_tn(h_in, g, dt))
+            acc(dw_refs[i], dw(h_in, g))
             acc(db_refs[i], db(g))
             if i > 0 or want_dx:
-                g = _mm_nt(g, ws[i], dt).astype(dt)
+                g = [_mm_nt(g[c], ws[i], dt).astype(dt) for c in R]
     if want_dx:
-        g_x = g_x + g  # layer 0's input IS x
+        g_x = [g_x[c] + g[c] for c in R]  # layer 0's input IS x
     return g_x, g_d
 
 
-def _bwd_kernel(cfg: Config, dt, s: int, input_grads: bool, *refs):
+def _backward_tile(cfg, dt, s, x, d, ws, bs, g_rgb, g_den, acc,
+                   dw_refs, db_refs, want_dx=True, want_dd=True):
+    """Single-chunk reverse pass on one row tile (fused-IPE kernel entry)."""
+    g_x, g_d = _backward_chunks(
+        cfg, dt, s, [x], [d], ws, bs, [g_rgb], [g_den], acc,
+        dw_refs, db_refs, want_dx=want_dx, want_dd=want_dd,
+    )
+    return g_x[0], g_d[0]
+
+
+def _bwd_kernel(cfg: Config, dt, s: int, input_grads: bool, interleave: int,
+                *refs):
     n_layers = len(layer_dims(cfg))
     x_ref, d_ref, grgb_ref, gden_ref = refs[:4]
     w_refs = refs[4 : 4 + n_layers]
@@ -319,16 +348,20 @@ def _bwd_kernel(cfg: Config, dt, s: int, input_grads: bool, *refs):
     dw_refs = out[:n_layers]
     db_refs = out[n_layers : 2 * n_layers]
 
-    g_x, g_d = _backward_tile(
-        cfg, dt, s, x_ref[...], d_ref[...],
+    g_x, g_d = _backward_chunks(
+        cfg, dt, s,
+        _split_rows(x_ref[...], interleave),
+        _split_rows(d_ref[...], interleave),
         [w[...] for w in w_refs], [b[...] for b in b_refs],
-        grgb_ref[...], gden_ref[...], _make_acc(), dw_refs, db_refs,
+        _split_rows(grgb_ref[...], interleave),
+        _split_rows(gden_ref[...], interleave),
+        _make_acc(), dw_refs, db_refs,
         want_dx=input_grads, want_dd=input_grads,
     )
     if input_grads:
         dx_ref, dd_ref = out[2 * n_layers], out[2 * n_layers + 1]
-        dx_ref[...] = g_x.astype(dx_ref.dtype)
-        dd_ref[...] = g_d.astype(dd_ref.dtype)
+        dx_ref[...] = jnp.concatenate(g_x, axis=0).astype(dx_ref.dtype)
+        dd_ref[...] = jnp.concatenate(g_d, axis=0).astype(dd_ref.dtype)
 
 
 def _pad_rows(a: jnp.ndarray, tile: int) -> jnp.ndarray:
@@ -423,10 +456,12 @@ def _fused_mlp_fwd_impl(params, x, d, *, cfg: Config, tile: int, s: int = 1,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "tile", "s", "input_grads")
+    jax.jit,
+    static_argnames=("cfg", "tile", "s", "input_grads", "interleave"),
 )
 def _fused_mlp_bwd_impl(params, x, d, g_rgb, g_den, *, cfg: Config,
-                        tile: int, s: int = 1, input_grads: bool = True):
+                        tile: int, s: int = 1, input_grads: bool = True,
+                        interleave: int = 1):
     n = x.shape[0]
     dims, w_specs, b_specs = _weight_specs(cfg)
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
@@ -469,7 +504,7 @@ def _fused_mlp_bwd_impl(params, x, d, g_rgb, g_den, *, cfg: Config,
         ]
     flops_rows = 3 * 2 * sum(i * o for i, o in dims)
     outs = pl.pallas_call(
-        functools.partial(_bwd_kernel, cfg, dt, s, input_grads),
+        functools.partial(_bwd_kernel, cfg, dt, s, input_grads, interleave),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -510,27 +545,28 @@ def _fused_mlp_bwd_impl(params, x, d, g_rgb, g_den, *, cfg: Config,
 # ----------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
 def _fused_apply(params, x2d, d2d, cfg: Config, tile_fwd: int,
-                 tile_bwd: int, s: int, input_grads: bool, interleave: int):
+                 tile_bwd: int, s: int, input_grads: bool, interleave: int,
+                 interleave_bwd: int):
     return _fused_mlp_fwd_impl(params, x2d, d2d, cfg=cfg, tile=tile_fwd,
                                s=s, interleave=interleave)
 
 
 def _fused_apply_fwd(params, x2d, d2d, cfg, tile_fwd, tile_bwd, s,
-                     input_grads, interleave):
+                     input_grads, interleave, interleave_bwd):
     out = _fused_mlp_fwd_impl(params, x2d, d2d, cfg=cfg, tile=tile_fwd,
                               s=s, interleave=interleave)
     return out, (params, x2d, d2d)
 
 
 def _fused_apply_bwd(cfg, tile_fwd, tile_bwd, s, input_grads, interleave,
-                     res, grads):
+                     interleave_bwd, res, grads):
     params, x2d, d2d = res
     g_rgb, g_den = grads
     d_params, dx, dd = _fused_mlp_bwd_impl(
         params, x2d, d2d, g_rgb, g_den, cfg=cfg, tile=tile_bwd, s=s,
-        input_grads=input_grads,
+        input_grads=input_grads, interleave=interleave_bwd,
     )
     return d_params, dx.astype(x2d.dtype), dd.astype(d2d.dtype)
 
@@ -566,11 +602,14 @@ def fused_mlp_apply(params: Params, cfg: Config, x: jnp.ndarray,
     tile_fwd = tile or DEFAULT_TILE_FWD
     tile_bwd = tile_bwd or tile or DEFAULT_TILE_BWD
     # Interleaved chunks must also cover whole rays (per-ray d broadcast).
-    interleave = DEFAULT_INTERLEAVE
-    while interleave > 1 and (
-        tile_fwd % interleave or (tile_fwd // interleave) % num_samples
-    ):
-        interleave //= 2
+    def pick_interleave(default, t):
+        il = default
+        while il > 1 and (t % il or (t // il) % num_samples):
+            il //= 2
+        return il
+
+    interleave = pick_interleave(DEFAULT_INTERLEAVE, tile_fwd)
+    interleave_bwd = pick_interleave(DEFAULT_INTERLEAVE_BWD, tile_bwd)
     if tile_fwd % num_samples == 0 and tile_bwd % num_samples == 0:
         # Per-ray d: rows are ray-major, so a tile covers whole rays and
         # the kernel broadcasts the per-ray view contribution in VMEM.
@@ -583,7 +622,8 @@ def fused_mlp_apply(params: Params, cfg: Config, x: jnp.ndarray,
             dir_enc[..., None, :], (*lead, dir_enc.shape[-1])
         ).reshape(n, dir_enc.shape[-1]).astype(dt)
     raw_rgb, raw_den = _fused_apply(
-        params, x2d, d2d, cfg, tile_fwd, tile_bwd, s, input_grads, interleave
+        params, x2d, d2d, cfg, tile_fwd, tile_bwd, s, input_grads,
+        interleave, interleave_bwd,
     )
     return (
         raw_rgb.reshape(*lead, cfg.num_rgb_channels),

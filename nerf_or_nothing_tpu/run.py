@@ -95,6 +95,9 @@ def evaluate(cfg: Config, max_images: Optional[int] = None) -> dict:
 
 
 def render(cfg: Config, out_dir: str, max_images: Optional[int] = None):
+    """Render the test split, or — with ``cfg.render_path`` (the reference's
+    declared ``Config.RenderPath``, TrainState.cs:53) — the novel-view
+    camera path (LLFF spiral / spherified orbit)."""
     from PIL import Image
 
     state = init_train_state(cfg)
@@ -103,11 +106,17 @@ def render(cfg: Config, out_dir: str, max_images: Optional[int] = None):
     dataset = create_dataset("test", cfg.data_dir, cfg)
     render_fn = make_render_fn(cfg)
     os.makedirs(out_dir, exist_ok=True)
-    n = dataset.num_images if max_images is None else min(
-        max_images, dataset.num_images
-    )
-    for i in range(n):
-        rays, _ = dataset.image_rays(i)
+    if cfg.render_path and hasattr(dataset, "render_path_rays"):
+        ray_list = dataset.render_path_rays()
+        if max_images is not None:
+            ray_list = ray_list[:max_images]
+        frames = enumerate(ray_list)
+    else:
+        n = dataset.num_images if max_images is None else min(
+            max_images, dataset.num_images
+        )
+        frames = ((i, dataset.image_rays(i)[0]) for i in range(n))
+    for i, rays in frames:
         rgb, dist, acc = render_image(
             render_fn, state.params,
             Rays(*[jnp.asarray(x) for x in rays]),
@@ -125,19 +134,22 @@ def main(argv=None):
         return 2
     command, rest = argv[0], argv[1:]
     out = None
+    max_images = None
     filtered = []
     for a in rest:
         if a.startswith("--out="):
             out = a.split("=", 1)[1]
+        elif a.startswith("--max-images="):
+            max_images = int(a.split("=", 1)[1])
         else:
             filtered.append(a)
     cfg = parse_flags(filtered)
     if command == "train":
         train(cfg, log_dir=cfg.checkpoint_dir or None)
     elif command == "eval":
-        evaluate(cfg)
+        evaluate(cfg, max_images)
     else:
-        render(cfg, out or "renders")
+        render(cfg, out or "renders", max_images)
     return 0
 
 

@@ -54,3 +54,26 @@ def test_cli_unknown_flag(scene):
 
     with pytest.raises(ValueError, match="unknown flag"):
         main(["train", "--no-such-flag=1"])
+
+
+def test_cli_render_spiral_path(tmp_path):
+    """--render-path renders the LLFF spiral novel-view path, not the test
+    split (the reference's declared-but-dead Config.RenderPath flag,
+    TrainState.cs:53, implemented as a working feature)."""
+    from test_datasets import write_llff_scene
+    from nerf_or_nothing_tpu.run import main
+
+    root = str(tmp_path / "llff")
+    write_llff_scene(root, n_images=4, size=8)
+    out = str(tmp_path / "spiral")
+    args = [
+        f"--data-dir={root}", "--dataset-loader=llff", "--llff-hold=2",
+        "--batch-size=16", "--num-samples=8", "--net-depth=2",
+        "--net-width=16", "--net-width-condition=8", "--max-deg-point=4",
+        "--num-levels=1", "--render-chunk-size=32", "--use-pallas=false",
+        "--render-path=true", f"--out={out}", "--max-images=3",
+    ]
+    assert main(["render", *args]) == 0
+    assert sorted(os.listdir(out)) == [
+        "render_000.png", "render_001.png", "render_002.png"
+    ]
