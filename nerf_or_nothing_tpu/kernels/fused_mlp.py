@@ -62,8 +62,8 @@ from nerf_or_nothing_tpu.models.mlp import Params, layer_dims
 # Values picked by an on-chip v5e sweep (tiles 1024-16384, interleave 1-4).
 DEFAULT_TILE_FWD = 4096
 DEFAULT_TILE_BWD = 2048
-DEFAULT_INTERLEAVE = 4
-DEFAULT_INTERLEAVE_BWD = 2
+DEFAULT_INTERLEAVE = 8
+DEFAULT_INTERLEAVE_BWD = 4
 
 
 def _mm(a, b, dt, out_dt=jnp.float32):
