@@ -34,11 +34,19 @@ class Stats(NamedTuple):
 
 
 class MetricsLogger:
-    """CSV + stdout metrics writer with rays/s throughput tracking."""
+    """CSV + stdout + (optional) TensorBoard metrics writer with rays/s
+    throughput tracking.
 
-    def __init__(self, log_dir: Optional[str] = None, batch_size: int = 0):
+    TensorBoard events are written when a SummaryWriter implementation is
+    importable (``torch.utils.tensorboard`` in this image); otherwise the
+    logger silently degrades to CSV + stdout — no hard dependency.
+    """
+
+    def __init__(self, log_dir: Optional[str] = None, batch_size: int = 0,
+                 tensorboard: bool = True):
         self._csv_writer = None
         self._csv_file = None
+        self._tb = None
         self._batch_size = batch_size
         self._last_time: Optional[float] = None
         self._last_step: int = 0
@@ -53,6 +61,13 @@ class MetricsLogger:
                     ["step", "loss", "psnr", "grad_norm", "grad_abs_max",
                      "grad_norm_clipped", "weight_l2", "lr", "rays_per_sec"]
                 )
+            if tensorboard:
+                try:
+                    from torch.utils.tensorboard import SummaryWriter
+
+                    self._tb = SummaryWriter(os.path.join(log_dir, "tb"))
+                except Exception:
+                    self._tb = None
 
     def log(self, step: int, stats: Stats, quiet: bool = False) -> dict:
         now = time.perf_counter()
@@ -79,6 +94,12 @@ class MetricsLogger:
         if self._csv_writer is not None:
             self._csv_writer.writerow(list(row.values()))
             self._csv_file.flush()
+        if self._tb is not None:
+            for k, v in row.items():
+                if k != "step":
+                    self._tb.add_scalar(f"train/{k}", v, step)
+            for lvl, l in enumerate(np.asarray(stats.losses)):
+                self._tb.add_scalar(f"train/loss_level{lvl}", float(l), step)
         if not quiet:
             losses = np.asarray(stats.losses)
             per_level = "/".join(f"{l:.5f}" for l in losses)
@@ -93,3 +114,5 @@ class MetricsLogger:
     def close(self):
         if self._csv_file is not None:
             self._csv_file.close()
+        if self._tb is not None:
+            self._tb.close()

@@ -118,3 +118,28 @@ def test_psnr_ssim_known_values():
     expected_psnr = float(mse_to_psnr(jnp.mean((noisy - img) ** 2)))
     np.testing.assert_allclose(m["psnr"], expected_psnr, rtol=1e-4)
     assert m["ssim"] < 1.0
+
+
+def test_metrics_logger_tensorboard(tmp_path):
+    """TensorBoard events are written when a SummaryWriter is importable
+    (torch.utils.tensorboard in this image), alongside the CSV."""
+    import jax.numpy as jnp
+
+    from nerf_or_nothing_tpu.metrics import MetricsLogger, Stats
+
+    log_dir = str(tmp_path / "logs")
+    logger = MetricsLogger(log_dir, batch_size=4)
+    z = jnp.zeros(())
+    stats = Stats(loss=z, losses=jnp.zeros((2,)), weight_l2=z, psnr=z,
+                  psnrs=jnp.zeros((2,)), grad_norm=z, grad_abs_max=z,
+                  grad_norm_clipped=z, learning_rate=z)
+    logger.log(1, stats, quiet=True)
+    logger.log(2, stats, quiet=True)
+    logger.close()
+    assert os.path.exists(os.path.join(log_dir, "train_stats.csv"))
+    try:
+        import torch.utils.tensorboard  # noqa: F401
+    except Exception:
+        return  # CSV-only degradation is the contract without TB
+    tb_files = os.listdir(os.path.join(log_dir, "tb"))
+    assert any(f.startswith("events.out") for f in tb_files)
