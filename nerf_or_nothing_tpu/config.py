@@ -111,6 +111,11 @@ class Config:
     # saves), so off by default; kept as an option for other chip gens.
     fuse_ipe: bool = False
     debug_nans: bool = False        # jax_debug_nans sanitizer mode (§5.2)
+    # checkify-instrumented train step: traps NaN/inf generation and OOB
+    # gathers inside jit and raises with a source location (the "compute
+    # sanitizer" the reference lacks while shipping real OOB reads,
+    # accelerated_functions.cu:205-220 — SURVEY.md §5.2). Costs ~2x; debug.
+    check_numerics: bool = False
     compute_dtype: str = "bfloat16"  # MXU-friendly; params/accum stay f32
     mesh_shape: Sequence[int] = (1,)  # devices along the 'batch' axis
     donate_params: bool = True

@@ -169,6 +169,27 @@ def make_train_step(cfg: Config, mlp_apply=None, axis_name: Optional[str] = None
 
 
 def make_jitted_train_step(cfg: Config, mlp_apply=None):
-    """Single-device jit with donated state (fast path for 1 chip)."""
+    """Single-device jit with donated state (fast path for 1 chip).
+
+    With ``cfg.check_numerics`` the step is checkify-instrumented
+    (SURVEY.md §5.2): NaN/inf generation and out-of-bounds indexing inside
+    the jit raise a Python error with the offending source location instead
+    of silently corrupting training (the reference prints kernel errors and
+    keeps going, AcceleratedMipNeRF.cpp:97-101). ~2x slower; a debug mode.
+    """
     step_fn = make_train_step(cfg, mlp_apply=mlp_apply)
+    if cfg.check_numerics:
+        from jax.experimental import checkify
+
+        checked = checkify.checkify(
+            step_fn, errors=checkify.float_checks | checkify.index_checks
+        )
+        inner = jax.jit(checked)
+
+        def checked_step(state, rays, pixels):
+            err, out = inner(state, rays, pixels)
+            err.throw()
+            return out
+
+        return checked_step
     return jax.jit(step_fn, donate_argnums=(0,) if cfg.donate_params else ())

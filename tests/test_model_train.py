@@ -248,3 +248,35 @@ def test_train_step_determinism():
     assert float(st1.loss) == float(st2.loss)
     for (w1, _), (w2, _) in zip(s1.params, s2.params):
         np.testing.assert_array_equal(w1, w2)
+
+
+def test_check_numerics_traps_nan():
+    """cfg.check_numerics raises on NaN generation inside the jitted step
+    (SURVEY.md §5.2 — the reference prints kernel errors and keeps going)."""
+    import pytest
+
+    from nerf_or_nothing_tpu.rays import Rays
+    from nerf_or_nothing_tpu.train import (
+        init_train_state, make_jitted_train_step,
+    )
+
+    cfg = tiny_config(batch_size=8, num_samples=8, net_depth=2, net_width=16,
+                      net_width_condition=8, max_deg_point=4, num_levels=1,
+                      check_numerics=True, use_pallas=False)
+    state = init_train_state(cfg)
+    step = make_jitted_train_step(cfg)
+    n = cfg.batch_size
+    d = np.random.default_rng(0).normal(size=(n, 3)).astype(np.float32)
+    ones = np.ones((n, 1), np.float32)
+    rays = Rays(jnp.zeros((n, 3)), jnp.asarray(d),
+                jnp.asarray(d / np.linalg.norm(d, axis=-1, keepdims=True)),
+                jnp.asarray(ones * 0.01), jnp.asarray(ones * 2.0),
+                jnp.asarray(ones * 6.0), jnp.asarray(ones))
+    pixels = jnp.full((n, 3), jnp.nan)  # poison
+    with pytest.raises(Exception, match="nan"):
+        step(state, rays, pixels)
+
+    # clean inputs pass
+    pixels_ok = jnp.full((n, 3), 0.5)
+    state2, stats = step(state, rays, pixels_ok)
+    assert np.isfinite(float(stats.loss))
