@@ -71,6 +71,14 @@ def train(cfg: Config, log_dir: Optional[str] = None) -> TrainState:
 
     logger = MetricsLogger(log_dir, batch_size=cfg.batch_size)
     stats = None
+    # Periodic held-out render (the reference's declared-but-dead
+    # Config.TestRenderInterval, TrainState.cs:63, as a working feature):
+    # every test_render_interval-th checkpoint, render one test view and
+    # log PSNR/SSIM. 0 disables.
+    test_ds = None
+    render_fn = None
+    import gc
+
     for step in range(start_step + 1, cfg.max_steps + 1):
         rays, pixels = next(dataset)
         state, stats = step_fn(state, *put(rays, pixels))
@@ -78,6 +86,36 @@ def train(cfg: Config, log_dir: Optional[str] = None) -> TrainState:
             logger.log(step, jax.device_get(stats))
         if cfg.checkpoint_dir and step % cfg.save_every == 0:
             ckpt_lib.save_checkpoint(cfg.checkpoint_dir, state)
+        if (
+            cfg.test_render_interval > 0
+            and step % (cfg.test_render_interval * cfg.save_every) == 0
+        ):
+            try:
+                if test_ds is None:
+                    test_ds = create_dataset("test", cfg.data_dir, cfg)
+                    render_fn = make_render_fn(cfg)
+                trays, tgt = test_ds.image_rays(0)
+                rgb, _, _ = render_image(
+                    render_fn, state.params,
+                    Rays(*[jnp.asarray(x) for x in trays]),
+                    test_ds.height, test_ds.width, cfg.render_chunk_size,
+                )
+                from nerf_or_nothing_tpu.eval import evaluate_image
+
+                m = evaluate_image(
+                    rgb,
+                    np.asarray(tgt).reshape(test_ds.height, test_ds.width, 3),
+                )
+                print(f"step {step:>7d}  test view 0: "
+                      f"psnr {m['psnr']:.2f} ssim {m['ssim']:.3f}",
+                      flush=True)
+            except NotImplementedError:
+                pass  # dataset has no test split
+        if cfg.gc_every > 0 and step % cfg.gc_every == 0:
+            # Config.GcEvery (TrainState.cs:62): periodic host GC keeps the
+            # long-running loop's Python garbage (per-batch numpy views,
+            # logging dicts) from accumulating into pauses.
+            gc.collect()
     if cfg.checkpoint_dir:
         ckpt_lib.save_checkpoint(cfg.checkpoint_dir, state)
     logger.close()
