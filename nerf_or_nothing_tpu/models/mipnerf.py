@@ -149,11 +149,13 @@ def render_rays(
             rgb, density, t_vals, rays.directions, white_bkgd
         )
         mids = 0.5 * (t_vals[..., :-1] + t_vals[..., 1:])
+        # Safe divide (not nan_to_num): acc underflows to exactly 0 for
+        # empty-space rays; generating a NaN and sanitizing it would trip
+        # the check_numerics (checkify) mode on benign inputs. acc==0 =>
+        # numerator is 0 too => 0, clamped to t0 — identical result.
         distance = jax.lax.stop_gradient(
             jnp.clip(
-                jnp.nan_to_num(
-                    jnp.sum(weights * mids, axis=-1) / acc, posinf=1e10
-                ),
+                jnp.sum(weights * mids, axis=-1) / jnp.maximum(acc, 1e-10),
                 t_vals[..., 0],
                 t_vals[..., -1],
             )

@@ -72,11 +72,13 @@ def volumetric_rendering(
     acc = jnp.sum(weights, axis=-1)
     mids = 0.5 * (t_vals[..., :-1] + t_vals[..., 1:])
     # Distance is an aux output (never differentiated in the reference).
+    # Safe divide instead of generate-NaN-then-sanitize: keeps the
+    # check_numerics (checkify) sanitizer quiet on benign empty-space rays;
+    # acc==0 implies the numerator is 0 too, so the result (clamped to t0)
+    # is identical.
     distance = jax.lax.stop_gradient(
         jnp.clip(
-            jnp.nan_to_num(
-                jnp.sum(weights * mids, axis=-1) / acc, posinf=jnp.inf
-            ),
+            jnp.sum(weights * mids, axis=-1) / jnp.maximum(acc, 1e-10),
             t_vals[..., 0],
             t_vals[..., -1],
         )

@@ -88,6 +88,7 @@ def train(cfg: Config, log_dir: Optional[str] = None) -> TrainState:
             ckpt_lib.save_checkpoint(cfg.checkpoint_dir, state)
         if (
             cfg.test_render_interval > 0
+            and cfg.save_every > 0
             and step % (cfg.test_render_interval * cfg.save_every) == 0
         ):
             try:
@@ -109,8 +110,10 @@ def train(cfg: Config, log_dir: Optional[str] = None) -> TrainState:
                 print(f"step {step:>7d}  test view 0: "
                       f"psnr {m['psnr']:.2f} ssim {m['ssim']:.3f}",
                       flush=True)
-            except NotImplementedError:
-                pass  # dataset has no test split
+            except Exception as e:  # no/unusable test split: warn once, off
+                print(f"test render disabled: {type(e).__name__}: {e}",
+                      flush=True)
+                cfg = cfg.replace(test_render_interval=0)
         if cfg.gc_every > 0 and step % cfg.gc_every == 0:
             # Config.GcEvery (TrainState.cs:62): periodic host GC keeps the
             # long-running loop's Python garbage (per-batch numpy views,

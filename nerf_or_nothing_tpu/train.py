@@ -89,14 +89,16 @@ def clip_grads(grads, cfg: Config):
         )
     flat = jnp.concatenate([g.ravel() for g in jax.tree.leaves(grads)])
     grad_norm = jnp.sqrt(jnp.sum(flat * flat))
+    grad_abs_max = jnp.max(jnp.abs(flat))
     if cfg.grad_max_norm > 0:
         mult = jnp.minimum(1.0, cfg.grad_max_norm / (1e-10 + grad_norm))
         grads = jax.tree.map(lambda g: g * mult, grads)
+        grad_abs_max = grad_abs_max * mult  # stat reflects applied grads
     clipped_norm = jnp.minimum(
         grad_norm,
         grad_norm if cfg.grad_max_norm <= 0 else cfg.grad_max_norm,
     )
-    return grads, grad_norm, clipped_norm, jnp.max(jnp.abs(flat))
+    return grads, grad_norm, clipped_norm, grad_abs_max
 
 
 def make_train_step(cfg: Config, mlp_apply=None, axis_name: Optional[str] = None):
