@@ -128,6 +128,11 @@ class Config:
     checkpoint_dir: str = ""
     resume: bool = True
 
+    # ---- tracing / profiling (SURVEY.md §5.1; the reference has none) ----
+    # When set, the train loop captures an XLA op-level trace of steps
+    # 11..20 into this directory (viewable in TensorBoard / XProf).
+    profile_dir: str = ""
+
     seed: int = 0
 
     # ------------------------------------------------------------------

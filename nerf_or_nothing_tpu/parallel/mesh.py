@@ -76,6 +76,62 @@ def replicate_state(mesh: Mesh, state: TrainState) -> TrainState:
     return jax.tree.map(lambda x: jax.device_put(x, sharding), state)
 
 
+MODEL_AXIS = "model"
+
+
+def create_mesh_2d(dp: int, mp: int) -> Mesh:
+    """2-D ('batch', 'model') mesh: data parallelism x tensor parallelism."""
+    devices = np.asarray(jax.devices()[: dp * mp]).reshape(dp, mp)
+    return Mesh(devices, (BATCH_AXIS, MODEL_AXIS))
+
+
+def make_tensor_parallel_train_step(cfg: Config, mesh: Mesh):
+    """2-D data x tensor parallel train step via GSPMD sharding annotations.
+
+    Rays/pixels are sharded over 'batch'; every MLP weight matrix is sharded
+    over its OUTPUT dimension on 'model' (biases and Adam moments likewise),
+    and XLA's SPMD partitioner inserts the collectives (all-gathers on the
+    activation path, reduce-scatters on the gradient path).
+
+    This is an OPTION, not the default: at the reference's 494k parameters
+    (2 MB) pure data parallelism is optimal (SURVEY.md §5.8) — tensor
+    parallelism pays off only for much wider MLPs that blow past VMEM/HBM
+    per chip, so this path uses the plain XLA MLP (the Pallas kernels
+    assume whole weights resident per chip by design).
+
+    Returns fn(state, rays, pixels) -> (state, stats), plus the shardings
+    needed to place the inputs (state_sharding, batch_sharding).
+    """
+    cfg = cfg.replace(use_pallas=False)
+    step_fn = make_train_step(cfg)  # no axis_name: GSPMD handles reductions
+
+    from nerf_or_nothing_tpu.models.mlp import layer_dims
+
+    w_sh = NamedSharding(mesh, P(None, MODEL_AXIS))
+    b_sh = NamedSharding(mesh, P(MODEL_AXIS))
+    rep = NamedSharding(mesh, P())
+    mp = mesh.shape[MODEL_AXIS]
+    # Narrow heads (density 1-wide, rgb 3-wide) stay replicated; only
+    # layers whose fan-out divides the model axis shard.
+    params_sh = [
+        (w_sh, b_sh) if o % mp == 0 else (rep, rep)
+        for _, o in layer_dims(cfg)
+    ]
+    state_sh = TrainState(
+        step=rep, params=params_sh, mu=params_sh, nu=params_sh, key=rep
+    )
+    batch_sh = NamedSharding(mesh, P(BATCH_AXIS))
+    rays_sh = Rays(*([batch_sh] * len(Rays._fields)))
+
+    step = jax.jit(
+        step_fn,
+        in_shardings=(state_sh, rays_sh, batch_sh),
+        out_shardings=(state_sh, rep),
+        donate_argnums=(0,) if cfg.donate_params else (),
+    )
+    return step, state_sh, batch_sh
+
+
 def make_sharded_train_step(cfg: Config, mesh: Mesh, mlp_apply=None):
     """The distributed train step: data-parallel shard_map + psum on ICI.
 

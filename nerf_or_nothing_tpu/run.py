@@ -79,9 +79,18 @@ def train(cfg: Config, log_dir: Optional[str] = None) -> TrainState:
     render_fn = None
     import gc
 
+    tracing = False
     for step in range(start_step + 1, cfg.max_steps + 1):
+        if cfg.profile_dir and step == start_step + 11:
+            jax.profiler.start_trace(cfg.profile_dir)
+            tracing = True
         rays, pixels = next(dataset)
         state, stats = step_fn(state, *put(rays, pixels))
+        if tracing and step >= start_step + 20:
+            jax.tree.map(lambda x: x.block_until_ready(), stats)
+            jax.profiler.stop_trace()
+            tracing = False
+            print(f"trace written to {cfg.profile_dir}", flush=True)
         if step % cfg.print_every == 0:
             logger.log(step, jax.device_get(stats))
         if cfg.checkpoint_dir and step % cfg.save_every == 0:
@@ -119,6 +128,8 @@ def train(cfg: Config, log_dir: Optional[str] = None) -> TrainState:
             # long-running loop's Python garbage (per-batch numpy views,
             # logging dicts) from accumulating into pauses.
             gc.collect()
+    if tracing:
+        jax.profiler.stop_trace()  # loop too short to hit the stop step
     if cfg.checkpoint_dir:
         ckpt_lib.save_checkpoint(cfg.checkpoint_dir, state)
     logger.close()

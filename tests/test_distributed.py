@@ -150,3 +150,47 @@ def test_randomized_jitter_decorrelated_across_shards():
     )
     psnrs = np.asarray(sharded(state, sh_rays, sh_pixels))
     assert len(np.unique(np.round(psnrs, 6))) > 1, psnrs
+
+
+def test_tensor_parallel_step_matches_single_device():
+    """2-D (batch x model) GSPMD step == single-device step (allclose).
+
+    Weights sharded over their output dim on 'model', rays over 'batch';
+    XLA inserts the collectives — results must be numerically equivalent
+    to the unsharded step."""
+    import numpy as np
+
+    from nerf_or_nothing_tpu.parallel import mesh as mesh_lib
+    from nerf_or_nothing_tpu.rays import Rays
+    from nerf_or_nothing_tpu.train import (
+        init_train_state, make_jitted_train_step, make_train_step,
+    )
+
+    cfg = tiny_config(batch_size=32, num_samples=16, net_depth=2,
+                      net_width=32, net_width_condition=16, max_deg_point=4,
+                      num_levels=2, use_pallas=False, donate_params=False,
+                      randomized=False)
+    state = init_train_state(cfg)
+    rays, pixels = make_batch(cfg.batch_size)
+
+    ref_state, ref_stats = jax.jit(make_train_step(cfg))(state, rays, pixels)
+
+    mesh = mesh_lib.create_mesh_2d(4, 2)
+    tp_step, state_sh, batch_sh = mesh_lib.make_tensor_parallel_train_step(
+        cfg, mesh
+    )
+    state_tp = jax.tree.map(
+        lambda x, s: jax.device_put(x, s), state, state_sh,
+        is_leaf=lambda x: isinstance(x, jax.Array) or isinstance(x, np.ndarray),
+    )
+    rays_tp = Rays(*[jax.device_put(np.asarray(r), batch_sh) for r in rays])
+    pixels_tp = jax.device_put(np.asarray(pixels), batch_sh)
+    tp_state, tp_stats = tp_step(state_tp, rays_tp, pixels_tp)
+
+    np.testing.assert_allclose(
+        float(tp_stats.loss), float(ref_stats.loss), rtol=1e-5
+    )
+    for (w_ref, b_ref), (w_tp, b_tp) in zip(ref_state.params, tp_state.params):
+        np.testing.assert_allclose(
+            np.asarray(w_tp), np.asarray(w_ref), rtol=2e-4, atol=2e-6
+        )

@@ -77,3 +77,23 @@ def test_cli_render_spiral_path(tmp_path):
     assert sorted(os.listdir(out)) == [
         "render_000.png", "render_001.png", "render_002.png"
     ]
+
+
+def test_cli_train_profile_trace(scene, tmp_path):
+    """--profile-dir captures an XLA trace of steps 11-20 (SURVEY.md §5.1)."""
+    from nerf_or_nothing_tpu.run import main
+
+    prof = str(tmp_path / "trace")
+    args = [
+        f"--data-dir={scene}", "--dataset-loader=blender",
+        "--batch-size=16", "--num-samples=8", "--net-depth=2",
+        "--net-width=16", "--net-width-condition=8", "--max-deg-point=4",
+        "--num-levels=1", "--max-steps=25", "--print-every=100",
+        "--use-pallas=false", f"--profile-dir={prof}",
+        "--test-render-interval=0",
+    ]
+    assert main(["train", *args]) == 0
+    found = []
+    for root, _, files in os.walk(prof):
+        found += [f for f in files if "trace" in f or f.endswith(".pb")]
+    assert found, f"no trace artifacts under {prof}"
