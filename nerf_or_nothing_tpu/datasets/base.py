@@ -107,6 +107,11 @@ class Dataset:
                       for x in self.rays])
         return rays, self.images[index].reshape(-1, 3)
 
+    def image_dims(self, index: int) -> Tuple[int, int]:
+        """(height, width) of image ``index``; uniform by default, overridden
+        by mixed-resolution datasets (Multicam)."""
+        return self.height, self.width
+
 
 def create_dataset(split: str, data_dir: str, cfg: Config) -> Dataset:
     """DatasetFactory.CreateDataset (Dataset.cs:18-30)."""

@@ -128,7 +128,9 @@ class Multicam(Dataset):
         import jax
 
         self.num_images = len(self._per_image_pixels)
-        self.height = self.width = 0
+        # Mixed resolutions: height/width are only meaningful per image (see
+        # image_dims); expose image 0's dims as the representative default.
+        self.height, self.width = self.image_dims(0)
         flat_rays = Rays(*[x[0] for x in self.rays])
         flat_pixels = self.images.reshape(-1, 3)
         p, num_p = jax.process_index(), jax.process_count()
@@ -144,6 +146,12 @@ class Multicam(Dataset):
         flat = Rays(*[np.asarray(x).reshape(-1, np.asarray(x).shape[-1])
                       for x in r])
         return flat, self._per_image_pixels[index]
+
+    def image_dims(self, index: int):
+        # Per-image ray grids keep their [H, W, C] shape; read dims off them
+        # (each scale of the pyramid has its own resolution).
+        h, w = np.asarray(self._per_image_rays[index].radii).shape[:2]
+        return h, w
 
 
 def _downsample(img: np.ndarray, factor: int) -> np.ndarray:

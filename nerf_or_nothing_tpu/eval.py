@@ -116,7 +116,7 @@ def evaluate_dataset(
     for i in range(n):
         rays, gt = dataset.image_rays(i)
         rays = Rays(*[jnp.asarray(x) for x in rays])
-        h, w = dataset.height, dataset.width
+        h, w = dataset.image_dims(i)  # per-image: Multicam mixes resolutions
         rgb, _, _ = render_image(
             render_fn, params, rays, h, w, cfg.render_chunk_size
         )

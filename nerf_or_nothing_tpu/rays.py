@@ -73,9 +73,11 @@ def generate_rays(
     viewdirs = directions / np.linalg.norm(directions, axis=-1, keepdims=True)
 
     # Distance between this pixel's direction and its x-neighbor's; the last
-    # column reuses its left neighbor (Dataset.cs:149-151).
+    # column reuses its left neighbor (Dataset.cs:149-151). NB: dx has W-1
+    # columns, so the left neighbor of the appended column is dx[:, -1:]
+    # (a -2:-1 slice would be empty at W=2 and yield a ragged ray grid).
     dx = np.sqrt(np.sum((directions[:, :-1, :] - directions[:, 1:, :]) ** 2, -1))
-    dx = np.concatenate([dx, dx[:, -2:-1]], axis=1)
+    dx = np.concatenate([dx, dx[:, -1:]], axis=1)
     radii = (dx * 2.0 / np.sqrt(12.0))[..., None]
 
     ones = np.ones_like(radii)

@@ -105,17 +105,15 @@ def train(cfg: Config, log_dir: Optional[str] = None) -> TrainState:
                     test_ds = create_dataset("test", cfg.data_dir, cfg)
                     render_fn = make_render_fn(cfg)
                 trays, tgt = test_ds.image_rays(0)
+                th, tw = test_ds.image_dims(0)
                 rgb, _, _ = render_image(
                     render_fn, state.params,
                     Rays(*[jnp.asarray(x) for x in trays]),
-                    test_ds.height, test_ds.width, cfg.render_chunk_size,
+                    th, tw, cfg.render_chunk_size,
                 )
                 from nerf_or_nothing_tpu.eval import evaluate_image
 
-                m = evaluate_image(
-                    rgb,
-                    np.asarray(tgt).reshape(test_ds.height, test_ds.width, 3),
-                )
+                m = evaluate_image(rgb, np.asarray(tgt).reshape(th, tw, 3))
                 print(f"step {step:>7d}  test view 0: "
                       f"psnr {m['psnr']:.2f} ssim {m['ssim']:.3f}",
                       flush=True)
@@ -167,12 +165,22 @@ def render(cfg: Config, out_dir: str, max_images: Optional[int] = None):
         n = dataset.num_images if max_images is None else min(
             max_images, dataset.num_images
         )
-        frames = ((i, dataset.image_rays(i)[0]) for i in range(n))
-    for i, rays in frames:
+        frames = (
+            (i, dataset.image_rays(i)[0], dataset.image_dims(i))
+            for i in range(n)
+        )
+    for frame in frames:
+        # Path renders use the dataset's representative dims; test-split
+        # renders carry per-image dims (Multicam mixes resolutions).
+        if len(frame) == 2:
+            i, rays = frame
+            h, w = dataset.height, dataset.width
+        else:
+            i, rays, (h, w) = frame
         rgb, dist, acc = render_image(
             render_fn, state.params,
             Rays(*[jnp.asarray(x) for x in rays]),
-            dataset.height, dataset.width, cfg.render_chunk_size,
+            h, w, cfg.render_chunk_size,
         )
         img = (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
         Image.fromarray(img).save(os.path.join(out_dir, f"render_{i:03d}.png"))

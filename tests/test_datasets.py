@@ -124,6 +124,42 @@ def test_multicam_synthesized(blender_dir):
     assert pixels.shape == (8, 3)
 
 
+def test_multicam_eval_end_to_end(blender_dir):
+    """Train briefly on the synthesized 4-scale pyramid, then evaluate a
+    held-out multicam view — the mixed-resolution eval path (each scale has
+    its own H x W; a uniform dataset.height/width reshape would crash)."""
+    import jax.numpy as jnp
+
+    from nerf_or_nothing_tpu.config import tiny_config
+    from nerf_or_nothing_tpu.eval import evaluate_dataset
+    from nerf_or_nothing_tpu.train import (
+        init_train_state,
+        make_jitted_train_step,
+    )
+
+    cfg = tiny_config(
+        batch_size=16, num_samples=8, net_depth=2, net_width=16,
+        net_width_condition=8, max_deg_point=4,
+        dataset_loader=DatasetType.MULTICAM, render_chunk_size=64,
+    )
+    ds = create_dataset("train", blender_dir, cfg)
+    state = init_train_state(cfg)
+    step = make_jitted_train_step(cfg)
+    for _ in range(2):
+        rays, pixels = next(ds)
+        state, stats = step(
+            state, Rays(*[jnp.asarray(x) for x in rays]), jnp.asarray(pixels)
+        )
+    assert np.isfinite(float(stats.loss))
+
+    test_ds = create_dataset("test", blender_dir, cfg)
+    dims = {test_ds.image_dims(i) for i in range(test_ds.num_images)}
+    assert len(dims) == 4, dims  # all four pyramid scales present
+    metrics = evaluate_dataset(cfg, state.params, test_ds, max_images=5)
+    assert np.isfinite(metrics["psnr"])
+    assert 0.0 <= metrics["ssim"] <= 1.0
+
+
 def test_train_on_blender_smoke(blender_dir):
     """End-to-end: dataset -> train step -> finite loss."""
     import jax.numpy as jnp
