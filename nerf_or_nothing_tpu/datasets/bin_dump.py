@@ -8,6 +8,11 @@ Unlike the reference — which opens the file and issues 1024 random 64-byte
 reads per batch (``BinDataset.cs:27-52``, I/O-bound by design) — the whole
 file is memory-mapped once and batches are vectorized gathers; sampling is
 with replacement from a seeded PRNG, matching the reference's distribution.
+
+Training batches are served by the native C++ loader
+(``native/ray_loader.cpp``: mmap + multithreaded prefetch ring) when its
+shared library builds; the NumPy gather path is the fallback and remains
+the source of truth for ``peek``/eval (deterministic, PRNG-seeded).
 """
 
 from __future__ import annotations
@@ -18,6 +23,9 @@ from nerf_or_nothing_tpu.datasets.base import Dataset
 from nerf_or_nothing_tpu.rays import Rays
 
 RECORD_FLOATS = 16  # 64 bytes
+
+# Module-level switch so tests/benchmarks can force the NumPy path.
+USE_NATIVE = True
 
 
 class BinDataset(Dataset):
@@ -42,6 +50,38 @@ class BinDataset(Dataset):
             far=np.asarray(records[:, 11:12]).reshape(1, n, 1, 1),
             loss_mult=np.asarray(records[:, 12:13]).reshape(1, n, 1, 1),
         )
+        self._native = None
+        if USE_NATIVE and self.split == "train":
+            self._native = self._open_native()
+
+    def _open_native(self):
+        """C++ prefetch-ring loader for train batches; None -> NumPy path."""
+        import jax
+
+        from nerf_or_nothing_tpu.datasets.native_loader import (
+            NativeRayLoader,
+            native_available,
+        )
+
+        if not native_available():
+            return None
+        try:
+            return NativeRayLoader(
+                self.data_dir,
+                self.cfg.batch_size,
+                seed=self.cfg.seed,
+                stripe_index=jax.process_index(),
+                stripe_count=jax.process_count(),
+            )
+        except Exception:
+            return None
+
+    def __next__(self):
+        if self._native is not None:
+            # The native ring prefetches on its own worker threads; the
+            # Python prefetch thread of the base class is bypassed.
+            return next(self._native)
+        return super().__next__()
 
 
 def write_bin_dump(path: str, rays: Rays, pixels: np.ndarray) -> None:

@@ -83,6 +83,56 @@ def test_native_loader_striping(tmp_path):
     l0.close(); l1.close()
 
 
+def test_bin_dataset_uses_native_loader(tmp_path):
+    """create_dataset(BIN) serves train batches through the C++ loader and
+    the batches drive a real train step (the loader integration the factory
+    path was missing)."""
+    import jax.numpy as jnp
+
+    from nerf_or_nothing_tpu.config import DatasetType, tiny_config
+    from nerf_or_nothing_tpu.datasets.base import create_dataset
+    from nerf_or_nothing_tpu.train import (
+        init_train_state,
+        make_jitted_train_step,
+    )
+
+    path = str(tmp_path / "rays.bin")
+    write_records(path, 512)
+    cfg = tiny_config(
+        batch_size=32, num_samples=8, net_depth=2, net_width=16,
+        net_width_condition=8, max_deg_point=4,
+        dataset_loader=DatasetType.BIN,
+    )
+    ds = create_dataset("train", path, cfg)
+    assert ds._native is not None, "native loader should be active"
+    state = init_train_state(cfg)
+    step = make_jitted_train_step(cfg)
+    for _ in range(2):
+        rays, pixels = next(ds)
+        assert pixels.shape == (32, 3)
+        state, stats = step(
+            state, Rays(*[jnp.asarray(x) for x in rays]), jnp.asarray(pixels)
+        )
+    assert np.isfinite(float(stats.loss))
+
+
+def test_bin_dataset_numpy_fallback(tmp_path, monkeypatch):
+    """With the native loader disabled, the factory path falls back to the
+    NumPy gather loader transparently."""
+    from nerf_or_nothing_tpu.config import Config, DatasetType
+    from nerf_or_nothing_tpu.datasets import bin_dump
+    from nerf_or_nothing_tpu.datasets.base import create_dataset
+
+    monkeypatch.setattr(bin_dump, "USE_NATIVE", False)
+    path = str(tmp_path / "rays.bin")
+    write_records(path, 256)
+    cfg = Config(dataset_loader=DatasetType.BIN, batch_size=16)
+    ds = create_dataset("train", path, cfg)
+    assert ds._native is None
+    rays, pixels = next(ds)
+    assert pixels.shape == (16, 3)
+
+
 def test_native_loader_missing_file(tmp_path):
     with pytest.raises(FileNotFoundError):
         NativeRayLoader(str(tmp_path / "nope.bin"), 8)
