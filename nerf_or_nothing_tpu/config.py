@@ -89,6 +89,12 @@ class Config:
     deg_view: int = 4
     density_bias: float = -1.0
     rgb_padding: float = 0.001
+    # Carry sample Gaussians as a diagonal covariance (canonical default) or
+    # as the full 3x3 matrix. The reference implements both branches
+    # (LiftGaussian, MipHelpers.cs:367-390; IPE non-diag, :429-471); the IPE
+    # consumes only the per-axis variance either way, so results match — the
+    # full form exists for parity and for encodings with non-axis bases.
+    diag_covariance: bool = True
     # The reference C# path encodes the *unnormalized* ray direction
     # (MipNerfModel.cs:70). Canonical mip-NeRF encodes normalized viewdirs;
     # both are supported, canonical is the default.
@@ -117,7 +123,10 @@ class Config:
     # accelerated_functions.cu:205-220 — SURVEY.md §5.2). Costs ~2x; debug.
     check_numerics: bool = False
     compute_dtype: str = "bfloat16"  # MXU-friendly; params/accum stay f32
-    mesh_shape: Sequence[int] = (1,)  # devices along the 'batch' axis
+    # Device mesh for training: () = automatic (all local devices on a 1-D
+    # 'batch' axis); (n,) = n-device data-parallel mesh; (dp, mp) = 2-D
+    # ('batch', 'model') mesh with tensor-parallel weights (parallel/mesh.py).
+    mesh_shape: Sequence[int] = ()
     donate_params: bool = True
     remat: bool = False             # jax.checkpoint over the per-level MLP
 
@@ -231,6 +240,10 @@ def parse_flags(argv: Sequence[str], base: Config | None = None) -> Config:
             updates[key] = DatasetType(value.lower())
         elif key == "ray_shape":
             updates[key] = RayShape(value.lower())
+        elif key == "mesh_shape":
+            updates[key] = tuple(
+                int(v) for v in value.split(",") if v
+            )
         else:
             updates[key] = value
     return cfg.replace(**updates)
