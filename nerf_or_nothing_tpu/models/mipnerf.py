@@ -60,7 +60,7 @@ def render_rays(
     fused_encode = None
     fused_kernel = False
     if mlp_apply is None:
-        if cfg.use_pallas and cfg.fuse_ipe:
+        if cfg.use_pallas and cfg.fuse_ipe and cfg.diag_covariance:
             # Fully fused path: IPE computed inside the kernel — the
             # [rays*samples, 96] feature tensor never exists in HBM.
             # (Off by default: measured slower on v5e, see Config.fuse_ipe.)
@@ -98,6 +98,7 @@ def render_rays(
                 randomized,
                 cfg.lin_disp,
                 cfg.ray_shape,
+                diag=cfg.diag_covariance,
             )
         else:
             t_vals, (means, covs) = sampling.resample_along_rays(
@@ -111,6 +112,7 @@ def render_rays(
                 cfg.ray_shape,
                 cfg.resample_padding,
                 stop_grad=cfg.stop_level_grad,
+                diag=cfg.diag_covariance,
             )
 
         if fused_encode is not None:
@@ -119,7 +121,8 @@ def render_rays(
             )
         else:
             x_enc = ipe.integrated_pos_enc(
-                (means, covs), cfg.min_deg_point, cfg.max_deg_point
+                (means, covs), cfg.min_deg_point, cfg.max_deg_point,
+                diag=cfg.diag_covariance,
             )
             kwargs = {}
             if fused_kernel:

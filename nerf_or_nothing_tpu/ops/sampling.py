@@ -35,6 +35,7 @@ def sample_along_rays(
     randomized: bool,
     lin_disp: bool,
     ray_shape: RayShape,
+    diag: bool = True,
 ):
     """Stratified sampling along each ray (MipHelpers.cs:611-631).
 
@@ -65,7 +66,8 @@ def sample_along_rays(
         upper = jnp.concatenate([mids, t_vals[..., -1:]], axis=-1)
         u = jax.random.uniform(key, (num_rays, num_samples + 1), dtype=dtype)
         t_vals = shifted + (upper - shifted) * u
-    means, covs = cast_rays(t_vals, origins, directions, radii, ray_shape)
+    means, covs = cast_rays(t_vals, origins, directions, radii, ray_shape,
+                            diag)
     return t_vals, (means, covs)
 
 
@@ -152,6 +154,7 @@ def resample_along_rays(
     ray_shape: RayShape,
     resample_padding: float,
     stop_grad: bool = True,
+    diag: bool = True,
 ):
     """Hierarchical resampling from coarse weights (MipHelpers.cs:634-666).
 
@@ -176,5 +179,6 @@ def resample_along_rays(
     new_t_vals = sorted_piecewise_constant_pdf(
         key, t_vals, w_blur, t_vals.shape[-1], randomized
     )
-    means, covs = cast_rays(new_t_vals, origins, directions, radii, ray_shape)
+    means, covs = cast_rays(new_t_vals, origins, directions, radii, ray_shape,
+                            diag)
     return new_t_vals, (means, covs)

@@ -53,9 +53,27 @@ def train(cfg: Config, log_dir: Optional[str] = None) -> TrainState:
         if start_step:
             print(f"resumed from step {start_step}")
 
+    # Mesh selection (Config.mesh_shape): () = all local devices on a 1-D
+    # 'batch' mesh, (n,) = n-device DP, (dp, mp) = 2-D tensor parallelism.
     n_dev = len(jax.devices())
-    if n_dev > 1:
-        mesh = mesh_lib.create_mesh()
+    mesh_shape = tuple(cfg.mesh_shape)
+    if len(mesh_shape) > 2:
+        raise ValueError(f"mesh_shape must be 1-D or 2-D, got {mesh_shape}")
+    if len(mesh_shape) == 2:
+        mesh = mesh_lib.create_mesh_2d(*mesh_shape)
+        step_fn, state_sh, batch_sh = (
+            mesh_lib.make_tensor_parallel_train_step(cfg, mesh)
+        )
+        state = jax.tree.map(jax.device_put, state, state_sh)
+
+        def put(rays, pixels):
+            return (
+                Rays(*[jax.device_put(np.asarray(x), batch_sh)
+                       for x in rays]),
+                jax.device_put(np.asarray(pixels), batch_sh),
+            )
+    elif (mesh_shape[0] if mesh_shape else n_dev) > 1:
+        mesh = mesh_lib.create_mesh(mesh_shape[0] if mesh_shape else None)
         state = mesh_lib.replicate_state(mesh, state)
         step_fn = mesh_lib.make_sharded_train_step(cfg, mesh)
 

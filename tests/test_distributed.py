@@ -109,6 +109,44 @@ def test_gradient_is_mean_over_shards(cfg):
         )
 
 
+def test_pallas_step_under_shard_map_matches_single_device():
+    """The flagship deployment combination: fused Pallas kernels running
+    inside the data-parallel shard_map step, at the FULL model shape
+    (8x256 + skip + view branch, hierarchical 128+128). On the CPU mesh the
+    kernels run in interpret mode — same math, same code path through
+    make_sharded_train_step — and must match the single-device Pallas step."""
+    cfg = tiny_config(
+        batch_size=16, num_samples=128, num_levels=2, net_depth=8,
+        net_width=256, net_depth_condition=1, net_width_condition=128,
+        skip_layer=4, max_deg_point=16, randomized=False,
+        use_pallas=True, donate_params=False,
+    )
+    rays, pixels = make_batch(cfg.batch_size)
+    state0 = init_train_state(cfg)
+
+    single_step = make_jitted_train_step(cfg)
+    s1, st1 = single_step(
+        jax.device_put(state0),
+        Rays(*[jnp.asarray(x) for x in rays]),
+        jnp.asarray(pixels),
+    )
+
+    mesh = mesh_lib.create_mesh()
+    sh_state = mesh_lib.replicate_state(mesh, init_train_state(cfg))
+    sh_rays, sh_pixels = mesh_lib.shard_batch(mesh, rays, pixels)
+    sharded_step = mesh_lib.make_sharded_train_step(cfg, mesh)
+    s2, st2 = sharded_step(sh_state, sh_rays, sh_pixels)
+
+    np.testing.assert_allclose(float(st1.loss), float(st2.loss), rtol=1e-4)
+    for (w1, b1), (w2, b2) in zip(s1.params, s2.params):
+        np.testing.assert_allclose(
+            np.asarray(w1), np.asarray(w2), rtol=1e-4, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(b1), np.asarray(b2), rtol=1e-4, atol=1e-6
+        )
+
+
 def test_randomized_jitter_decorrelated_across_shards():
     """With randomized sampling, different shards must draw different jitter
     (axis_index folding) — per-shard losses must differ."""

@@ -98,6 +98,50 @@ def test_render_rays_shapes_and_levels():
         assert bool(jnp.all(jnp.isfinite(res.rgb)))
 
 
+def test_render_rays_full_covariance_matches_diag():
+    """diag_covariance=False carries full 3x3 Gaussians through sampling and
+    IPE (LiftGaussian/IPE non-diag branches, MipHelpers.cs:367-390, :429-471)
+    and must reproduce the diagonal path's render exactly: the IPE consumes
+    only the per-axis variance, and the full form's diagonal equals the
+    diagonal form by construction."""
+    cfg = tiny_config(batch_size=8, num_samples=16, randomized=False)
+    cfg_full = cfg.replace(diag_covariance=False)
+    params = mlp_lib.init_mlp(jax.random.PRNGKey(0), cfg)
+    rays = make_rays(cfg.batch_size)
+    key = jax.random.PRNGKey(1)
+    out_d = mipnerf.render_rays(params, cfg, key, rays, False, True)
+    out_f = mipnerf.render_rays(params, cfg_full, key, rays, False, True)
+    for rd, rf in zip(out_d, out_f):
+        np.testing.assert_allclose(rd.rgb, rf.rgb, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(
+            rd.weights, rf.weights, rtol=1e-5, atol=1e-6
+        )
+
+
+def test_cast_rays_full_covariance_matches_oracle():
+    """Non-diag cast_rays vs the scalar oracle's full-covariance branch."""
+    from nerf_or_nothing_tpu.config import RayShape
+    from nerf_or_nothing_tpu.ops.ipe import cast_rays
+
+    rng = np.random.default_rng(3)
+    R, S = 4, 6
+    t_vals = np.sort(rng.uniform(2, 6, size=(R, S + 1)), axis=-1)
+    origins = rng.normal(size=(R, 3))
+    dirs = rng.normal(size=(R, 3))
+    radii = rng.uniform(0.001, 0.01, size=(R, 1))
+    mean, cov = cast_rays(
+        jnp.asarray(t_vals), jnp.asarray(origins), jnp.asarray(dirs),
+        jnp.asarray(radii), RayShape.CONE, diag=False,
+    )
+    assert cov.shape == (R, S, 3, 3)
+    for r in range(R):
+        m_ref, c_ref = oracle.cast_ray(
+            t_vals[r], origins[r], dirs[r], radii[r, 0], "cone", diag=False
+        )
+        np.testing.assert_allclose(mean[r], m_ref, rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(cov[r], c_ref, rtol=1e-4, atol=1e-6)
+
+
 def test_rgb_padding_range():
     """Activated rgb must lie in [-p, 1+p] (MipNerfModel.cs:82)."""
     cfg = tiny_config(num_samples=8)

@@ -43,6 +43,23 @@ def test_cli_train_eval_render(scene, tmp_path):
     assert img.shape == (8, 8, 3)
 
 
+@pytest.mark.parametrize("mesh_shape", ["4", "4,2"])
+def test_cli_train_mesh_shape(scene, tmp_path, mesh_shape):
+    """--mesh-shape drives the device mesh: '4' = 4-device data parallelism,
+    '4,2' = 2-D batch x model tensor parallelism (on the 8-CPU test mesh)."""
+    from nerf_or_nothing_tpu.run import main
+
+    args = [
+        f"--data-dir={scene}", "--dataset-loader=blender",
+        "--batch-size=16", "--num-samples=8", "--net-depth=2",
+        "--net-width=16", "--net-width-condition=8", "--max-deg-point=4",
+        "--num-levels=1", "--max-steps=3", "--print-every=3",
+        "--use-pallas=false", "--donate-params=false",
+        f"--mesh-shape={mesh_shape}",
+    ]
+    assert main(["train", *args]) == 0
+
+
 def test_cli_unknown_command():
     from nerf_or_nothing_tpu.run import main
 
