@@ -111,6 +111,12 @@ class Config:
 
     # ---- TPU execution (new; no reference equivalent — SURVEY.md §2.11) ----
     use_pallas: bool = True         # fused Pallas kernels on the hot path
+    # Whole-level fused training kernel (kernels/fused_level.py): MLP fwd +
+    # compositing + loss grad + MLP bwd in ONE kernel, activations resident
+    # in VMEM (no backward recompute: 4x -> 3x forward FLOPs per level).
+    # Requires stop_level_grad (level gradients must be independent);
+    # effective only on the training path with use_pallas.
+    fuse_level: bool = True
     # Compute the IPE inside the Pallas kernel too. Measured SLOWER on v5e
     # (16.6 vs 11.0 ms/step at batch 1024: Mosaic's lane utilization on the
     # 3-wide encode inputs loses more than the skipped HBM round trip

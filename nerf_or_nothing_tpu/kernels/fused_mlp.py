@@ -216,9 +216,15 @@ def _make_acc():
 
 
 def _backward_chunks(cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens, acc,
-                     dw_refs, db_refs, want_dx=True, want_dd=True):
+                     dw_refs, db_refs, want_dx=True, want_dd=True,
+                     acts=None):
     """Recompute-forward + full reverse pass over a LIST of independent row
     chunks; returns (list of g_x or None, list of per-ray g_d or None).
+
+    ``acts``: optional precomputed per-chunk (hs, vs) activation lists from
+    ``_forward_chunks`` — skips the recompute pass entirely (used by the
+    fused-level kernel, where the forward ran in the same kernel invocation
+    and the activations are still resident in VMEM).
 
     Like ``_forward_chunks``, each layer's matmuls run for every chunk
     before moving on, so consecutive MXU ops are independent. The chunk
@@ -239,7 +245,10 @@ def _backward_chunks(cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens, acc,
     R = range(C)
 
     xs = [x.astype(dt) for x in xs]
-    _, _, hs, vs = _forward_chunks(cfg, dt, s, xs, ds, ws, bs)
+    if acts is None:
+        _, _, hs, vs = _forward_chunks(cfg, dt, s, xs, ds, ws, bs)
+    else:
+        hs, vs = acts
 
     def db(gs):
         # bias grads reduce over up to thousands of rows: accumulate f32

@@ -101,6 +101,91 @@ def clip_grads(grads, cfg: Config):
     return grads, grad_norm, clipped_norm, grad_abs_max
 
 
+def _fused_level_value_and_grad(cfg: Config, params, key, rays: Rays,
+                                pixels):
+    """Loss + gradients via the whole-level fused kernel (no jax.grad).
+
+    Valid exactly when ``stop_level_grad`` holds: each level's loss gradient
+    is then independent (level l+1 reads level l's weights through a
+    stop-gradient), so total grads are the sum of per-level kernel dW/db,
+    with the level's loss weight folded into the per-ray g_scale.
+
+    Returns (loss, (level_losses, fine_rgb, weight_l2), grads) — the same
+    contract as jax.value_and_grad of the unfused loss_fn.
+    """
+    from nerf_or_nothing_tpu.kernels.fused_level import fused_level_train
+    from nerf_or_nothing_tpu.ops import ipe as ipe_lib, sampling
+
+    dir_to_encode = rays.viewdirs if cfg.use_viewdirs else rays.directions
+    dir_enc = ipe_lib.pos_enc(dir_to_encode, 0, cfg.deg_view)
+
+    mask = rays.loss_mult[..., 0]
+    if cfg.disable_multiscale_loss:
+        mask = jnp.ones_like(mask)
+    denom = jnp.maximum(jnp.sum(mask), 1e-10)
+
+    grads = None
+    losses = []
+    comp = None
+    t_vals = weights = None
+    for i_level in range(cfg.num_levels):
+        key, level_key = jax.random.split(key)
+        if i_level == 0:
+            t_vals, (means, covs) = sampling.sample_along_rays(
+                level_key, rays.origins, rays.directions, rays.radii,
+                cfg.num_samples, rays.near, rays.far, cfg.randomized,
+                cfg.lin_disp, cfg.ray_shape, diag=cfg.diag_covariance,
+            )
+        else:
+            t_vals, (means, covs) = sampling.resample_along_rays(
+                level_key, rays.origins, rays.directions, rays.radii,
+                t_vals, weights, cfg.randomized, cfg.ray_shape,
+                cfg.resample_padding, stop_grad=True,
+                diag=cfg.diag_covariance,
+            )
+        x_enc = ipe_lib.integrated_pos_enc(
+            (means, covs), cfg.min_deg_point, cfg.max_deg_point,
+            diag=cfg.diag_covariance,
+        )
+        level_weight = (
+            1.0 if i_level == cfg.num_levels - 1 else cfg.coarse_loss_mult
+        )
+        g_scale = (level_weight * 2.0 * mask / denom)[..., None]
+        comp, _, weights, d_params = fused_level_train(
+            params, cfg, x_enc, dir_enc, t_vals, rays.directions,
+            pixels, g_scale, cfg.white_bkgd,
+        )
+        losses.append(
+            jnp.sum(mask * jnp.sum((comp - pixels) ** 2, axis=-1)) / denom
+        )
+        grads = d_params if grads is None else [
+            (gw + dw, gb + db)
+            for (gw, gb), (dw, db) in zip(grads, d_params)
+        ]
+    losses = jnp.stack(losses)
+    total = cfg.coarse_loss_mult * jnp.sum(losses[:-1]) + losses[-1]
+    if cfg.weight_decay_mult > 0:
+        wl2 = sum(jnp.sum(w**2) for w, _ in params)
+        total = total + cfg.weight_decay_mult * wl2
+        grads = [
+            (gw + 2.0 * cfg.weight_decay_mult * w, gb)
+            for (gw, gb), (w, _) in zip(grads, params)
+        ]
+    else:
+        wl2 = jnp.zeros(())
+    return total, (losses, comp, wl2), grads
+
+
+def use_fused_level(cfg: Config) -> bool:
+    """Whether the whole-level fused train kernel applies to this config."""
+    return (
+        cfg.use_pallas
+        and cfg.fuse_level
+        and cfg.stop_level_grad
+        and not cfg.fuse_ipe
+    )
+
+
 def make_train_step(cfg: Config, mlp_apply=None, axis_name: Optional[str] = None):
     """Build the (un-jitted) train step; see ``parallel/`` for sharded wrap.
 
@@ -140,9 +225,18 @@ def make_train_step(cfg: Config, mlp_apply=None, axis_name: Optional[str] = None
             step, cfg.lr_init, cfg.lr_final, cfg.max_steps,
             cfg.lr_delay_steps, cfg.lr_delay_mult,
         )
-        (loss, (level_losses, fine_rgb, wl2)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(state.params, step_key, rays, pixels)
+        if use_fused_level(cfg) and mlp_apply is None:
+            loss, (level_losses, fine_rgb, wl2), grads = (
+                _fused_level_value_and_grad(
+                    cfg, state.params, step_key, rays, pixels
+                )
+            )
+        else:
+            (loss, (level_losses, fine_rgb, wl2)), grads = (
+                jax.value_and_grad(loss_fn, has_aux=True)(
+                    state.params, step_key, rays, pixels
+                )
+            )
 
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)

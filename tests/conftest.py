@@ -11,17 +11,31 @@ sitecustomize and pin ``jax_platforms`` programmatically.
 
 import os
 
+# NON_TPU_TEST_PLATFORM=tpu runs the suite against the real chip instead
+# (kernel tests then exercise the compiled Mosaic lowering, not interpret
+# mode); default is the 8-device virtual CPU mesh.
+_PLATFORM = os.environ.get("NON_TPU_TEST_PLATFORM", "cpu")
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if _PLATFORM == "cpu":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
 
-assert jax.devices()[0].platform == "cpu", jax.devices()
-assert len(jax.devices()) == 8, jax.devices()
+if _PLATFORM == "cpu":
+    assert jax.devices()[0].platform == "cpu", jax.devices()
+    assert len(jax.devices()) == 8, jax.devices()
+else:
+    # Compile cache: first TPU compiles through the tunnel take minutes.
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               "/root/jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)

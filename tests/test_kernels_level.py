@@ -1,0 +1,183 @@
+"""Whole-level fused train kernel vs autodiff of the unfused oracle.
+
+On CPU the kernel runs in interpret mode; compiled on real TPU these same
+tests are the numerics gate for the Mosaic lowering.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nerf_or_nothing_tpu.config import Config, tiny_config
+from nerf_or_nothing_tpu.kernels.fused_level import fused_level_train
+from nerf_or_nothing_tpu.models import mlp as mlp_lib
+from nerf_or_nothing_tpu.ops import render
+from nerf_or_nothing_tpu.rays import Rays
+from nerf_or_nothing_tpu.train import (
+    init_train_state,
+    make_jitted_train_step,
+)
+
+
+def small_cfg(**kw):
+    base = dict(
+        net_depth=3, net_width=32, net_depth_condition=1,
+        net_width_condition=16, skip_layer=2, max_deg_point=4,
+        compute_dtype="float32", num_samples=8,
+    )
+    base.update(kw)
+    return Config(**base)
+
+
+def make_level_inputs(cfg, R=6, seed=0):
+    S = cfg.num_samples
+    ks = jax.random.split(jax.random.PRNGKey(seed), 6)
+    params = mlp_lib.init_mlp(ks[0], cfg)
+    x_enc = jax.random.normal(ks[1], (R, S, cfg.location_features)) * 0.5
+    dir_enc = jax.random.normal(ks[2], (R, cfg.direction_features)) * 0.5
+    t_vals = jnp.sort(
+        jax.random.uniform(ks[3], (R, S + 1), minval=2.0, maxval=6.0), axis=-1
+    )
+    dirs = jax.random.normal(ks[4], (R, 3))
+    pixels = jax.random.uniform(ks[5], (R, 3))
+    return params, x_enc, dir_enc, t_vals, dirs, pixels
+
+
+def oracle_level(params, cfg, x_enc, dir_enc, t_vals, dirs, pixels, mask,
+                 level_weight, white_bkgd):
+    """Unfused level loss: MLP -> activations -> composite -> masked MSE."""
+    raw_rgb, raw_den = mlp_lib.apply_mlp(params, cfg, x_enc, dir_enc)
+    rgb = jax.nn.sigmoid(raw_rgb)
+    rgb = rgb * (1.0 + 2.0 * cfg.rgb_padding) - cfg.rgb_padding
+    density = jax.nn.softplus(raw_den[..., 0] + cfg.density_bias)
+    comp, acc, weights = render.composite(
+        rgb, density, t_vals, dirs, white_bkgd
+    )
+    denom = jnp.maximum(jnp.sum(mask), 1e-10)
+    sq = jnp.sum((comp - pixels) ** 2, axis=-1)
+    return level_weight * jnp.sum(mask * sq) / denom, (comp, acc, weights)
+
+
+@pytest.mark.parametrize("white_bkgd", [True, False])
+def test_fused_level_matches_autodiff(white_bkgd):
+    """dW/db from the fused kernel == jax.grad of the unfused oracle, and
+    the forward outputs (comp/acc/weights) match the oracle composite."""
+    cfg = small_cfg()
+    params, x_enc, dir_enc, t_vals, dirs, pixels = make_level_inputs(cfg)
+    R = pixels.shape[0]
+    mask = jnp.ones((R,))
+    level_weight = 0.1
+    denom = jnp.maximum(jnp.sum(mask), 1e-10)
+    g_scale = (level_weight * 2.0 * mask / denom)[..., None]
+
+    comp, acc, weights, d_params = fused_level_train(
+        params, cfg, x_enc, dir_enc, t_vals, dirs, pixels, g_scale,
+        white_bkgd, tile=16,
+    )
+
+    grads_ref, (comp_ref, acc_ref, w_ref) = jax.grad(
+        lambda p: oracle_level(p, cfg, x_enc, dir_enc, t_vals, dirs,
+                               pixels, mask, level_weight, white_bkgd),
+        has_aux=True,
+    )(params)
+
+    np.testing.assert_allclose(comp, comp_ref, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(acc, acc_ref, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(weights, w_ref, rtol=1e-4, atol=1e-5)
+    for i, ((dw, db), (dw_r, db_r)) in enumerate(zip(d_params, grads_ref)):
+        np.testing.assert_allclose(
+            dw, dw_r, rtol=2e-4, atol=1e-6, err_msg=f"dW layer {i}"
+        )
+        np.testing.assert_allclose(
+            db, db_r, rtol=2e-4, atol=1e-6, err_msg=f"db layer {i}"
+        )
+
+
+def test_fused_level_masked_loss_and_padding():
+    """Non-uniform loss_mult mask + row count not a multiple of the tile:
+    padded rays must contribute nothing."""
+    cfg = small_cfg()
+    params, x_enc, dir_enc, t_vals, dirs, pixels = make_level_inputs(
+        cfg, R=5, seed=3
+    )
+    mask = jnp.asarray([1.0, 4.0, 0.0, 2.0, 1.0])
+    denom = jnp.maximum(jnp.sum(mask), 1e-10)
+    g_scale = (2.0 * mask / denom)[..., None]
+
+    comp, acc, weights, d_params = fused_level_train(
+        params, cfg, x_enc, dir_enc, t_vals, dirs, pixels, g_scale,
+        True, tile=16,  # 5 rays * 8 samples = 40 rows -> padded to 48
+    )
+    grads_ref, (comp_ref, _, _) = jax.grad(
+        lambda p: oracle_level(p, cfg, x_enc, dir_enc, t_vals, dirs,
+                               pixels, mask, 1.0, True),
+        has_aux=True,
+    )(params)
+    np.testing.assert_allclose(comp, comp_ref, rtol=1e-4, atol=1e-5)
+    for i, ((dw, db), (dw_r, db_r)) in enumerate(zip(d_params, grads_ref)):
+        np.testing.assert_allclose(
+            dw, dw_r, rtol=2e-4, atol=1e-6, err_msg=f"dW layer {i}"
+        )
+        np.testing.assert_allclose(
+            db, db_r, rtol=2e-4, atol=1e-6, err_msg=f"db layer {i}"
+        )
+
+
+def test_fused_level_train_step_matches_unfused():
+    """Full train step: fuse_level=True == fuse_level=False (the per-kernel
+    Pallas path) == plain XLA, at identical f32 precision."""
+
+    def make_rays(R, seed=0):
+        rng = np.random.default_rng(seed)
+        d = rng.normal(size=(R, 3)).astype(np.float32)
+        vd = d / np.linalg.norm(d, axis=-1, keepdims=True)
+        ones = np.ones((R, 1), np.float32)
+        return (
+            Rays(
+                jnp.zeros((R, 3)), jnp.asarray(d), jnp.asarray(vd),
+                jnp.asarray(ones * 0.005), jnp.asarray(ones * 2.0),
+                jnp.asarray(ones * 6.0), jnp.asarray(ones),
+            ),
+            jnp.asarray(rng.uniform(size=(R, 3)).astype(np.float32)),
+        )
+
+    base = tiny_config(
+        batch_size=16, num_samples=8, num_levels=2, net_depth=3,
+        net_width=32, net_width_condition=16, skip_layer=2, max_deg_point=4,
+        randomized=False, donate_params=False, compute_dtype="float32",
+        use_pallas=True,
+    )
+    rays, pixels = make_rays(base.batch_size)
+
+    results = {}
+    for name, cfg in (
+        ("fused_level", base),
+        ("per_kernel", base.replace(fuse_level=False)),
+        ("xla", base.replace(use_pallas=False)),
+    ):
+        state = init_train_state(cfg)
+        step = make_jitted_train_step(cfg)
+        for _ in range(2):
+            state, stats = step(state, rays, pixels)
+        results[name] = (state, stats)
+
+    for other in ("per_kernel", "xla"):
+        s_f, st_f = results["fused_level"]
+        s_o, st_o = results[other]
+        np.testing.assert_allclose(
+            float(st_f.loss), float(st_o.loss), rtol=1e-5, err_msg=other
+        )
+        np.testing.assert_allclose(
+            float(st_f.grad_norm), float(st_o.grad_norm), rtol=1e-4,
+            err_msg=other,
+        )
+        for (w1, b1), (w2, b2) in zip(s_f.params, s_o.params):
+            np.testing.assert_allclose(
+                np.asarray(w1), np.asarray(w2), rtol=1e-4, atol=1e-6,
+                err_msg=other,
+            )
+            np.testing.assert_allclose(
+                np.asarray(b1), np.asarray(b2), rtol=1e-4, atol=1e-6,
+                err_msg=other,
+            )
