@@ -11,8 +11,9 @@ Design (SURVEY.md §5.8, BASELINE north star):
 - rays + target pixels sharded ``P('batch')``; params + Adam state
   replicated ``P()``;
 - the train step runs under ``shard_map`` so the gradient all-reduce is an
-  explicit per-step ``psum`` over ICI that XLA's latency-hiding scheduler
-  overlaps with the remaining backward;
+  explicit per-step ``psum`` over ICI, emitted per level; measured schedule
+  (benchmarks/analyze_overlap.py): XLA combines them into one ~2.19 MB
+  synchronous all-reduce costing ~1% of the step — see docs/PERF.md;
 - multi-host: ``jax.distributed.initialize`` + per-host data striping
   (each process feeds its local devices its own ray stripe;
   ``make_array_from_process_local_data`` assembles the global batch).

@@ -102,7 +102,7 @@ def clip_grads(grads, cfg: Config):
 
 
 def _fused_level_value_and_grad(cfg: Config, params, key, rays: Rays,
-                                pixels):
+                                pixels, axis_name: Optional[str] = None):
     """Loss + gradients via the whole-level fused kernel (no jax.grad).
 
     Valid exactly when ``stop_level_grad`` holds: each level's loss gradient
@@ -110,8 +110,15 @@ def _fused_level_value_and_grad(cfg: Config, params, key, rays: Rays,
     stop-gradient), so total grads are the sum of per-level kernel dW/db,
     with the level's loss weight folded into the per-ray g_scale.
 
+    When ``axis_name`` is set, each level's gradients are pmean'd the moment
+    that level's kernel finishes — level l's ~2 MB all-reduce is then
+    independent of level l+1's multi-ms kernel, giving XLA's latency-hiding
+    scheduler real compute to overlap it with (instead of one reduce after
+    all backward work is done).
+
     Returns (loss, (level_losses, fine_rgb, weight_l2), grads) — the same
-    contract as jax.value_and_grad of the unfused loss_fn.
+    contract as jax.value_and_grad of the unfused loss_fn; grads are
+    already axis-reduced when axis_name is given.
     """
     from nerf_or_nothing_tpu.kernels.fused_level import fused_level_train
     from nerf_or_nothing_tpu.ops import ipe as ipe_lib, sampling
@@ -158,6 +165,8 @@ def _fused_level_value_and_grad(cfg: Config, params, key, rays: Rays,
         losses.append(
             jnp.sum(mask * jnp.sum((comp - pixels) ** 2, axis=-1)) / denom
         )
+        if axis_name is not None:
+            d_params = jax.lax.pmean(d_params, axis_name)
         grads = d_params if grads is None else [
             (gw + dw, gb + db)
             for (gw, gb), (dw, db) in zip(grads, d_params)
@@ -191,8 +200,9 @@ def make_train_step(cfg: Config, mlp_apply=None, axis_name: Optional[str] = None
 
     Returns fn(state, rays, pixels) -> (new_state, Stats). When ``axis_name``
     is set, gradients and scalar stats are psum/pmean'd over that mesh axis
-    (the 2 MB gradient all-reduce rides ICI; XLA's latency-hiding scheduler
-    overlaps it with the remaining backward).
+    (the ~2 MB gradient all-reduce rides ICI; measured schedule in
+    docs/PERF.md "Multi-chip": XLA combines it into one ~73 us sync
+    collective, ~1% of the step).
     """
 
     def loss_fn(params, key, rays: Rays, pixels):
@@ -226,9 +236,11 @@ def make_train_step(cfg: Config, mlp_apply=None, axis_name: Optional[str] = None
             cfg.lr_delay_steps, cfg.lr_delay_mult,
         )
         if use_fused_level(cfg) and mlp_apply is None:
+            # grads come back already pmean'd per level (overlappable).
             loss, (level_losses, fine_rgb, wl2), grads = (
                 _fused_level_value_and_grad(
-                    cfg, state.params, step_key, rays, pixels
+                    cfg, state.params, step_key, rays, pixels,
+                    axis_name=axis_name,
                 )
             )
         else:
@@ -237,9 +249,10 @@ def make_train_step(cfg: Config, mlp_apply=None, axis_name: Optional[str] = None
                     state.params, step_key, rays, pixels
                 )
             )
+            if axis_name is not None:
+                grads = jax.lax.pmean(grads, axis_name)
 
         if axis_name is not None:
-            grads = jax.lax.pmean(grads, axis_name)
             loss = jax.lax.pmean(loss, axis_name)
             level_losses = jax.lax.pmean(level_losses, axis_name)
 
