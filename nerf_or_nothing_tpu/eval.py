@@ -25,10 +25,16 @@ from nerf_or_nothing_tpu.ops.math_utils import (
 from nerf_or_nothing_tpu.rays import Rays
 
 
-def make_render_fn(cfg: Config, mlp_apply=None):
-    """jit'd deterministic forward returning the fine level's rgb/dist/acc."""
+def make_render_fn(cfg: Config, mlp_apply=None, mesh=None):
+    """jit'd deterministic forward returning the fine level's rgb/dist/acc.
 
-    @jax.jit
+    With ``mesh``, the forward runs data-parallel under ``shard_map``:
+    params replicated, rays sharded over the 'batch' axis — full-image
+    renders then use every chip of the mesh (the chunked driver in
+    ``render_image`` feeds batch-sharded chunks). Required for the Pallas
+    kernels, which GSPMD cannot auto-partition.
+    """
+
     def render_fn(params, key, rays: Rays):
         results = mipnerf.render_rays(
             params, cfg, key, rays,
@@ -38,7 +44,21 @@ def make_render_fn(cfg: Config, mlp_apply=None):
         fine = results[-1]
         return fine.rgb, fine.distance, fine.acc
 
-    return render_fn
+    if mesh is None:
+        return jax.jit(render_fn)
+
+    from jax.sharding import PartitionSpec as P
+
+    from nerf_or_nothing_tpu.parallel.mesh import BATCH_AXIS
+
+    sharded = jax.shard_map(
+        render_fn,
+        mesh=mesh,
+        in_specs=(P(), P(), P(BATCH_AXIS)),
+        out_specs=P(BATCH_AXIS),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
 
 
 def render_image(
@@ -49,15 +69,27 @@ def render_image(
     width: int,
     chunk: int = 8192,
     key: Optional[jax.Array] = None,
+    mesh=None,
 ):
     """Render a full image in fixed-size chunks (static shapes -> one compile).
 
     Args:
       rays: flattened leaves [H*W, C].
+      mesh: when given (with a mesh-built render_fn), each chunk is placed
+        batch-sharded across the mesh before the sharded forward.
     Returns:
       rgb [H, W, 3], distance [H, W], acc [H, W].
     """
     key = jax.random.PRNGKey(0) if key is None else key
+    batch_sharding = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from nerf_or_nothing_tpu.parallel.mesh import BATCH_AXIS
+
+        n_dev = mesh.devices.size
+        chunk = ((chunk + n_dev - 1) // n_dev) * n_dev
+        batch_sharding = NamedSharding(mesh, P(BATCH_AXIS))
     n = rays.origins.shape[0]
     rgbs, dists, accs = [], [], []
     for start in range(0, n, chunk):
@@ -69,6 +101,10 @@ def render_image(
             chunk_rays = Rays(
                 *[jnp.concatenate([x, jnp.repeat(x[-1:], pad, 0)]) for x in
                   chunk_rays]
+            )
+        if batch_sharding is not None:
+            chunk_rays = Rays(
+                *[jax.device_put(x, batch_sharding) for x in chunk_rays]
             )
         rgb, dist, acc = render_fn(params, key, chunk_rays)
         rgbs.append(np.asarray(rgb[: end - start]))
@@ -106,9 +142,13 @@ def evaluate_dataset(
     dataset,
     max_images: Optional[int] = None,
     mlp_apply=None,
+    mesh=None,
 ) -> dict:
-    """Mean metrics over (a prefix of) a test dataset."""
-    render_fn = make_render_fn(cfg, mlp_apply=mlp_apply)
+    """Mean metrics over (a prefix of) a test dataset.
+
+    With ``mesh``, rendering is data-parallel over the mesh's 'batch' axis.
+    """
+    render_fn = make_render_fn(cfg, mlp_apply=mlp_apply, mesh=mesh)
     n = dataset.num_images if max_images is None else min(
         max_images, dataset.num_images
     )
@@ -118,7 +158,7 @@ def evaluate_dataset(
         rays = Rays(*[jnp.asarray(x) for x in rays])
         h, w = dataset.image_dims(i)  # per-image: Multicam mixes resolutions
         rgb, _, _ = render_image(
-            render_fn, params, rays, h, w, cfg.render_chunk_size
+            render_fn, params, rays, h, w, cfg.render_chunk_size, mesh=mesh
         )
         metrics.append(evaluate_image(rgb, np.asarray(gt).reshape(h, w, 3)))
     return {

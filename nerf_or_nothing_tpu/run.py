@@ -152,12 +152,22 @@ def train(cfg: Config, log_dir: Optional[str] = None) -> TrainState:
     return state
 
 
+def _eval_mesh():
+    """Data-parallel mesh for eval/render when more than one chip is local
+    (full-image renders then use the whole mesh, not one device)."""
+    if len(jax.devices()) > 1:
+        return mesh_lib.create_mesh()
+    return None
+
+
 def evaluate(cfg: Config, max_images: Optional[int] = None) -> dict:
     state = init_train_state(cfg)
     if cfg.checkpoint_dir:
         state = ckpt_lib.maybe_restore(cfg.checkpoint_dir, state)
     dataset = create_dataset("test", cfg.data_dir, cfg)
-    metrics = evaluate_dataset(cfg, state.params, dataset, max_images)
+    metrics = evaluate_dataset(
+        cfg, state.params, dataset, max_images, mesh=_eval_mesh()
+    )
     print({k: round(v, 4) for k, v in metrics.items()})
     return metrics
 
@@ -172,7 +182,8 @@ def render(cfg: Config, out_dir: str, max_images: Optional[int] = None):
     if cfg.checkpoint_dir:
         state = ckpt_lib.maybe_restore(cfg.checkpoint_dir, state)
     dataset = create_dataset("test", cfg.data_dir, cfg)
-    render_fn = make_render_fn(cfg)
+    mesh = _eval_mesh()
+    render_fn = make_render_fn(cfg, mesh=mesh)
     os.makedirs(out_dir, exist_ok=True)
     if cfg.render_path and hasattr(dataset, "render_path_rays"):
         ray_list = dataset.render_path_rays()
@@ -198,7 +209,7 @@ def render(cfg: Config, out_dir: str, max_images: Optional[int] = None):
         rgb, dist, acc = render_image(
             render_fn, state.params,
             Rays(*[jnp.asarray(x) for x in rays]),
-            h, w, cfg.render_chunk_size,
+            h, w, cfg.render_chunk_size, mesh=mesh,
         )
         img = (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
         Image.fromarray(img).save(os.path.join(out_dir, f"render_{i:03d}.png"))

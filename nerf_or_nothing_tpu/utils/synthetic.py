@@ -1,12 +1,19 @@
 """Analytic synthetic scene generator (Blender-format output).
 
 The BASELINE configs target Blender scenes (lego etc.) which cannot be
-downloaded in an offline environment, so this module renders a simple
-analytic scene — Lambertian spheres on a white background, ray-traced
-exactly — and writes it in the standard Blender-NeRF layout
-(``transforms_{split}.json`` + RGBA PNGs). It gives the integration tests a
-*consistent multi-view* dataset: a NeRF that works must drive PSNR well
-above the ~11 dB floor that random-noise fixtures allow.
+downloaded in an offline environment, so this module ray-traces analytic
+scenes — exactly, so multi-view ground truth is consistent — and writes
+them in the standard Blender-NeRF layout (``transforms_{split}.json`` +
+RGBA PNGs). A NeRF that works must drive PSNR well above the ~11 dB floor
+that random-noise fixtures allow.
+
+Two scenes:
+- ``simple``: four Lambertian spheres (the smoke-test scene).
+- ``hard``: the quality-gate scene — procedurally TEXTURED surfaces
+  (high-frequency checkers in spherical/planar coordinates), a ring of
+  mutually SELF-OCCLUDING spheres around a central one, a checkered ground
+  disk, and analytic CAST SHADOWS (secondary shadow rays) — far closer to
+  NeRF-scene frequency content than flat-shaded spheres.
 
 Also exposes ``render_rays_analytic`` so tests can compare a trained model
 against ground truth along arbitrary rays.
@@ -31,14 +38,64 @@ SPHERES = [
 LIGHT_DIR = np.array([0.5, 0.6, 0.62])
 AMBIENT = 0.35
 
+# The hard scene: central textured sphere + a ring of six small spheres
+# (each occludes its neighbors and the center from grazing views) over a
+# checkered ground disk. (center, radius, base albedo, checker frequency).
+_RING = [
+    (
+        np.array([1.15 * np.cos(a), 1.15 * np.sin(a), -0.55]),
+        0.32,
+        np.array(c),
+        10.0,
+    )
+    for a, c in zip(
+        np.linspace(0.0, 2 * np.pi, 6, endpoint=False),
+        [
+            (0.9, 0.25, 0.2), (0.2, 0.7, 0.3), (0.25, 0.35, 0.9),
+            (0.9, 0.8, 0.25), (0.8, 0.3, 0.8), (0.25, 0.8, 0.8),
+        ],
+    )
+]
+SPHERES_HARD = [
+    (np.array([0.0, 0.0, 0.05]), 0.75, np.array([0.95, 0.55, 0.25]), 14.0),
+    (np.array([0.45, 0.1, 0.85]), 0.28, np.array([0.3, 0.9, 0.5]), 8.0),
+    *_RING,
+]
+GROUND_Z = -0.9
+GROUND_R = 1.85
+GROUND_CHECK = 3.2  # checker cells per unit length
+
+
+def _sphere_hits(o, d, center, radius):
+    """First-intersection t for each ray (inf where missed)."""
+    oc = o - center
+    b = np.sum(oc * d, -1)
+    c = np.sum(oc * oc, -1) - radius**2
+    disc = b * b - c
+    sq = np.sqrt(np.maximum(disc, 0.0))
+    t = -b - sq
+    t = np.where((disc > 0) & (t > 1e-6), t, np.inf)
+    return t
+
+
+def _shadowed(p, light, spheres):
+    """True where a shadow ray from p toward the light hits any sphere."""
+    sh = np.zeros(p.shape[0], bool)
+    d = np.broadcast_to(light, p.shape)
+    for center, radius, _, _ in spheres:
+        sh |= np.isfinite(_sphere_hits(p + 1e-4 * d, d, center, radius))
+    return sh
+
 
 def render_rays_analytic(
-    origins: np.ndarray, directions: np.ndarray
+    origins: np.ndarray, directions: np.ndarray, scene: str = "simple"
 ) -> np.ndarray:
     """Exact ray-traced RGB for rays (white background, Lambertian).
 
     Args:
       origins/directions: [N, 3] (directions need not be normalized).
+      scene: "simple" (flat-shaded spheres) or "hard" (textured,
+        self-occluding, shadowed — the quality-gate scene).
     Returns:
       [N, 3] float32 in [0, 1].
     """
@@ -50,23 +107,64 @@ def render_rays_analytic(
     rgb = np.ones((n, 3))
     light = LIGHT_DIR / np.linalg.norm(LIGHT_DIR)
 
-    for center, radius, albedo in SPHERES:
-        oc = o - center
-        b = np.sum(oc * d, -1)
-        c = np.sum(oc * oc, -1) - radius**2
-        disc = b * b - c
-        hit = disc > 0
-        sq = np.sqrt(np.maximum(disc, 0.0))
-        t = -b - sq
-        hit &= (t > 1e-6) & (t < best_t)
+    if scene == "simple":
+        for center, radius, albedo in SPHERES:
+            t = _sphere_hits(o, d, center, radius)
+            hit = t < best_t
+            if not hit.any():
+                continue
+            p = o[hit] + t[hit, None] * d[hit]
+            normal = (p - center) / radius
+            lam = np.maximum(normal @ light, 0.0)
+            shade = AMBIENT + (1.0 - AMBIENT) * lam
+            rgb[hit] = albedo[None, :] * shade[:, None]
+            best_t[hit] = t[hit]
+        return rgb.astype(np.float32)
+
+    assert scene == "hard", scene
+    # Spheres: high-frequency checker texture in spherical coordinates.
+    for center, radius, albedo, freq in SPHERES_HARD:
+        t = _sphere_hits(o, d, center, radius)
+        hit = t < best_t
         if not hit.any():
             continue
         p = o[hit] + t[hit, None] * d[hit]
         normal = (p - center) / radius
+        theta = np.arctan2(normal[:, 1], normal[:, 0])
+        phi = np.arccos(np.clip(normal[:, 2], -1.0, 1.0))
+        checker = (
+            np.floor(theta * freq / np.pi) + np.floor(phi * freq / np.pi)
+        ) % 2
+        tex = np.where(checker > 0.5, 1.0, 0.35)[:, None]
         lam = np.maximum(normal @ light, 0.0)
+        lam = np.where(_shadowed(p, light, SPHERES_HARD), 0.0, lam)
         shade = AMBIENT + (1.0 - AMBIENT) * lam
-        rgb[hit] = albedo[None, :] * shade[:, None]
+        rgb[hit] = albedo[None, :] * tex * shade[:, None]
         best_t[hit] = t[hit]
+
+    # Ground disk: planar checker + cast shadows from the spheres.
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tg = (GROUND_Z - o[:, 2]) / d[:, 2]
+    pg = o + tg[:, None] * d
+    hit = (
+        np.isfinite(tg) & (tg > 1e-6) & (tg < best_t)
+        & (pg[:, 0] ** 2 + pg[:, 1] ** 2 < GROUND_R**2)
+    )
+    if hit.any():
+        p = pg[hit]
+        checker = (
+            np.floor(p[:, 0] * GROUND_CHECK) + np.floor(p[:, 1] * GROUND_CHECK)
+        ) % 2
+        base = np.where(
+            checker[:, None] > 0.5,
+            np.array([[0.85, 0.85, 0.9]]),
+            np.array([[0.25, 0.25, 0.3]]),
+        )
+        lam = light[2]  # ground normal is +z
+        lam = np.where(_shadowed(p, light, SPHERES_HARD), 0.0, lam)
+        shade = AMBIENT + (1.0 - AMBIENT) * lam
+        rgb[hit] = base * shade[:, None]
+        best_t[hit] = tg[hit]
     return rgb.astype(np.float32)
 
 
@@ -108,6 +206,7 @@ def write_scene(
     n_test: int = 3,
     size: int = 64,
     camera_angle_x: float = 0.8,
+    scene: str = "simple",
 ) -> str:
     """Write a Blender-format scene directory; returns ``root``."""
     from PIL import Image
@@ -122,6 +221,7 @@ def write_scene(
         rgb = render_rays_analytic(
             np.asarray(rays.origins).reshape(-1, 3),
             np.asarray(rays.directions).reshape(-1, 3),
+            scene=scene,
         )
         return rgb.reshape(size, size, 3)
 

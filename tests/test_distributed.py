@@ -147,6 +147,29 @@ def test_pallas_step_under_shard_map_matches_single_device():
         )
 
 
+def test_sharded_render_matches_single_device(cfg):
+    """Full-image rendering over the mesh (shard_map render_fn + sharded
+    chunks) == the single-device render, incl. the ragged last chunk."""
+    from nerf_or_nothing_tpu.eval import make_render_fn, render_image
+
+    mesh = mesh_lib.create_mesh()
+    params = init_train_state(cfg).params
+    h, w = 6, 10  # 60 rays: chunk 16 -> 3 full chunks + ragged 12-ray tail
+    rays, _ = make_batch(h * w, seed=5)
+    rays = Rays(*[jnp.asarray(x) for x in rays])
+
+    rgb1, dist1, acc1 = render_image(
+        make_render_fn(cfg), params, rays, h, w, chunk=16
+    )
+    rgb2, dist2, acc2 = render_image(
+        make_render_fn(cfg, mesh=mesh), params, rays, h, w, chunk=16,
+        mesh=mesh,
+    )
+    np.testing.assert_allclose(rgb2, rgb1, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(dist2, dist1, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(acc2, acc1, rtol=1e-5, atol=1e-6)
+
+
 def test_randomized_jitter_decorrelated_across_shards():
     """With randomized sampling, different shards must draw different jitter
     (axis_index folding) — per-shard losses must differ."""
