@@ -22,7 +22,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def parse_xplane(trace_dir: str):
     """Aggregate event durations per op name from the device plane."""
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
+    try:
+        from tensorflow.tsl.profiler.protobuf import xplane_pb2
+    except ImportError:  # plugin fallback (layout varies by version)
+        from tensorboard_plugin_profile.protobuf import xplane_pb2
 
     paths = glob.glob(
         os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True
