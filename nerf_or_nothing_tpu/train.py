@@ -192,6 +192,9 @@ def use_fused_level(cfg: Config) -> bool:
         and cfg.fuse_level
         and cfg.stop_level_grad
         and not cfg.fuse_ipe
+        # the in-kernel composite/loss assumes the standard head widths
+        and cfg.num_rgb_channels == 3
+        and cfg.num_density_channels == 1
     )
 
 

@@ -187,14 +187,20 @@ def _look_at(eye: np.ndarray) -> np.ndarray:
 
 
 def camera_poses(n_views: int, distance: float = 4.0,
-                 elevation: float = 0.45) -> List[np.ndarray]:
+                 elevation: float = 0.45,
+                 two_rings: bool = False) -> List[np.ndarray]:
+    """Orbit poses; with ``two_rings`` views alternate between two
+    elevations (better vertical coverage for held-out generalization)."""
     poses = []
     for i in range(n_views):
         theta = 2.0 * np.pi * i / n_views
+        el = elevation
+        if two_rings:
+            el = elevation + (0.18 if i % 2 else -0.12)
         eye = distance * np.array([
-            np.cos(theta) * np.cos(elevation),
-            np.sin(theta) * np.cos(elevation),
-            np.sin(elevation),
+            np.cos(theta) * np.cos(el),
+            np.sin(theta) * np.cos(el),
+            np.sin(el),
         ])
         poses.append(_look_at(eye))
     return poses
@@ -229,7 +235,7 @@ def write_scene(
                              ("test", n_test, 0.33)):
         os.makedirs(os.path.join(root, split), exist_ok=True)
         frames = []
-        poses = camera_poses(n)
+        poses = camera_poses(n, two_rings=(split == "train"))
         for i, c2w in enumerate(poses):
             # offset test azimuths so views differ from train
             if offset:
