@@ -68,7 +68,10 @@ class Config:
     save_every: int = 100_000
     print_every: int = 100
     gc_every: int = 10_000
-    test_render_interval: int = 1
+    # Steps between held-out test renders (TrainState.cs:63 intent: a plain
+    # step interval). The reference declares 1 but never reads it; rendering
+    # every step is useless, so the working default matches save_every.
+    test_render_interval: int = 100_000
     disable_multiscale_loss: bool = False
     randomized: bool = True
     coarse_loss_mult: float = 0.1   # TrainState.cs:69

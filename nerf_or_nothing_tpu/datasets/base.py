@@ -50,6 +50,7 @@ class Dataset:
         )
         self._queue: "queue.Queue" = queue.Queue(maxsize=4)
         self._thread: Optional[threading.Thread] = None
+        self._peeked: Optional[Tuple[Rays, np.ndarray]] = None
 
     # -- subclass API -------------------------------------------------------
     def _load(self) -> None:
@@ -85,6 +86,9 @@ class Dataset:
         """Next training batch, produced by a background prefetch thread
         (the reference's Peek/Next one-batch lookahead, BinDataset.cs:17-25,
         generalized)."""
+        if self._peeked is not None:
+            batch, self._peeked = self._peeked, None
+            return batch
         if self._thread is None:
             self._thread = threading.Thread(target=self._worker, daemon=True)
             self._thread.start()
@@ -95,11 +99,22 @@ class Dataset:
             self._queue.put(self._sample_batch())
 
     def peek(self) -> Tuple[Rays, np.ndarray]:
-        """A batch without consuming the stream (deterministic preview)."""
-        rng_state = self._rng.bit_generator.state
-        batch = self._sample_batch()
-        self._rng.bit_generator.state = rng_state
-        return batch
+        """The batch ``__next__`` will return, without consuming it.
+
+        Before the prefetch worker starts, this draws with RNG save/restore
+        (single-threaded, race-free). Once the worker is running, the RNG is
+        owned by the worker thread, so peek instead takes the next queued
+        batch and stashes it for ``__next__`` — never touching ``_rng``
+        concurrently (that save/restore raced ``_sample_batch`` before)."""
+        if self._peeked is not None:
+            return self._peeked
+        if self._thread is None:
+            rng_state = self._rng.bit_generator.state
+            batch = self._sample_batch()
+            self._rng.bit_generator.state = rng_state
+            return batch
+        self._peeked = self._queue.get()
+        return self._peeked
 
     def image_rays(self, index: int) -> Tuple[Rays, np.ndarray]:
         """Full ray grid + ground truth for one image (test/eval split)."""

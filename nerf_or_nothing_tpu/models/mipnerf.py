@@ -172,11 +172,20 @@ def multiscale_loss(
     pixels: jnp.ndarray,
     loss_mult: jnp.ndarray,
     cfg: Config,
+    axis_name=None,
 ):
     """Masked multiscale MSE (the unused-but-correct LossFn overload,
     Program.cs:66-89): per-level lossMult-weighted MSE normalized by
     sum(lossMult); coarse levels scaled by coarse_loss_mult (0.1), fine
     level by 1 (Program.cs:81).
+
+    When ``axis_name`` is set (data-parallel shard_map), the normalizer is
+    the GLOBAL sum(lossMult) over the whole batch — reference semantics
+    (``lossMultSum`` is computed over the full batch, Program.cs:64) — not
+    the shard-local sum. The pmean'd denominator equals global_sum/n_shards,
+    so the caller's subsequent pmean over losses/grads reproduces the
+    single-device result exactly even with non-uniform loss_mult (Multicam's
+    4^s area weights).
 
     Args:
       pixels: [R, 3]; loss_mult: [R, 1].
@@ -186,7 +195,10 @@ def multiscale_loss(
     mask = loss_mult[..., 0]
     if cfg.disable_multiscale_loss:
         mask = jnp.ones_like(mask)
-    denom = jnp.maximum(jnp.sum(mask), 1e-10)
+    local_sum = jnp.sum(mask)
+    if axis_name is not None:
+        local_sum = jax.lax.pmean(local_sum, axis_name)
+    denom = jnp.maximum(local_sum, 1e-10)
     losses = []
     for res in results:
         sq = jnp.sum((res.rgb - pixels) ** 2, axis=-1)

@@ -87,12 +87,17 @@ def train(cfg: Config, log_dir: Optional[str] = None) -> TrainState:
                 Rays(*[jnp.asarray(x) for x in rays]), jnp.asarray(pixels)
             )
 
-    logger = MetricsLogger(log_dir, batch_size=cfg.batch_size)
+    # Multi-host: metrics/checkpoints are written by process 0 only (stats
+    # and params are replicated — every process holds identical copies).
+    is_lead = jax.process_index() == 0
+    logger = MetricsLogger(
+        log_dir if is_lead else None, batch_size=cfg.batch_size
+    )
     stats = None
     # Periodic held-out render (the reference's declared-but-dead
     # Config.TestRenderInterval, TrainState.cs:63, as a working feature):
-    # every test_render_interval-th checkpoint, render one test view and
-    # log PSNR/SSIM. 0 disables.
+    # every test_render_interval steps, render one test view and log
+    # PSNR/SSIM. 0 disables.
     test_ds = None
     render_fn = None
     import gc
@@ -109,14 +114,14 @@ def train(cfg: Config, log_dir: Optional[str] = None) -> TrainState:
             jax.profiler.stop_trace()
             tracing = False
             print(f"trace written to {cfg.profile_dir}", flush=True)
-        if step % cfg.print_every == 0:
+        if step % cfg.print_every == 0 and is_lead:
             logger.log(step, jax.device_get(stats))
-        if cfg.checkpoint_dir and step % cfg.save_every == 0:
+        if cfg.checkpoint_dir and step % cfg.save_every == 0 and is_lead:
             ckpt_lib.save_checkpoint(cfg.checkpoint_dir, state)
         if (
             cfg.test_render_interval > 0
-            and cfg.save_every > 0
-            and step % (cfg.test_render_interval * cfg.save_every) == 0
+            and step % cfg.test_render_interval == 0
+            and is_lead
         ):
             try:
                 if test_ds is None:
@@ -124,8 +129,11 @@ def train(cfg: Config, log_dir: Optional[str] = None) -> TrainState:
                     render_fn = make_render_fn(cfg)
                 trays, tgt = test_ds.image_rays(0)
                 th, tw = test_ds.image_dims(0)
+                # Params are replicated; pull to host so the local render
+                # jit is independent of the training mesh placement.
+                host_params = jax.tree.map(np.asarray, state.params)
                 rgb, _, _ = render_image(
-                    render_fn, state.params,
+                    render_fn, host_params,
                     Rays(*[jnp.asarray(x) for x in trays]),
                     th, tw, cfg.render_chunk_size,
                 )
@@ -146,7 +154,7 @@ def train(cfg: Config, log_dir: Optional[str] = None) -> TrainState:
             gc.collect()
     if tracing:
         jax.profiler.stop_trace()  # loop too short to hit the stop step
-    if cfg.checkpoint_dir:
+    if cfg.checkpoint_dir and is_lead:
         ckpt_lib.save_checkpoint(cfg.checkpoint_dir, state)
     logger.close()
     return state
@@ -224,14 +232,40 @@ def main(argv=None):
     command, rest = argv[0], argv[1:]
     out = None
     max_images = None
+    # Multi-host launch flags (pod slices): --coordinator=host:port
+    # --num-processes=N --process-id=I, with NERF_COORDINATOR /
+    # NERF_NUM_PROCESSES / NERF_PROCESS_ID env fallbacks (launcher-friendly).
+    coordinator = os.environ.get("NERF_COORDINATOR")
+    num_processes = os.environ.get("NERF_NUM_PROCESSES")
+    process_id = os.environ.get("NERF_PROCESS_ID")
+    platform = os.environ.get("NERF_PLATFORM")
     filtered = []
     for a in rest:
         if a.startswith("--out="):
             out = a.split("=", 1)[1]
         elif a.startswith("--max-images="):
             max_images = int(a.split("=", 1)[1])
+        elif a.startswith("--coordinator="):
+            coordinator = a.split("=", 1)[1]
+        elif a.startswith("--num-processes="):
+            num_processes = a.split("=", 1)[1]
+        elif a.startswith("--process-id="):
+            process_id = a.split("=", 1)[1]
+        elif a.startswith("--platform="):
+            platform = a.split("=", 1)[1]
         else:
             filtered.append(a)
+    if platform:
+        # e.g. --platform=cpu: overrides any site-level platform pinning
+        # (the JAX_PLATFORMS env var loses to an explicit config update).
+        jax.config.update("jax_platforms", platform)
+    # Must run before any device query (jax backend init is lazy, so doing
+    # it here — after imports, before Config/dataset/mesh — is safe).
+    mesh_lib.initialize_multihost(
+        coordinator_address=coordinator,
+        num_processes=int(num_processes) if num_processes else None,
+        process_id=int(process_id) if process_id else None,
+    )
     cfg = parse_flags(filtered)
     if command == "train":
         train(cfg, log_dir=cfg.checkpoint_dir or None)

@@ -129,7 +129,14 @@ def _fused_level_value_and_grad(cfg: Config, params, key, rays: Rays,
     mask = rays.loss_mult[..., 0]
     if cfg.disable_multiscale_loss:
         mask = jnp.ones_like(mask)
-    denom = jnp.maximum(jnp.sum(mask), 1e-10)
+    # Global-batch normalizer (reference lossMultSum, Program.cs:64): under
+    # data parallelism the pmean'd sum = global_sum / n_shards, so the
+    # per-level grad pmean below reproduces the single-device gradients
+    # exactly even with non-uniform loss_mult (Multicam's 4^s weights).
+    local_sum = jnp.sum(mask)
+    if axis_name is not None:
+        local_sum = jax.lax.pmean(local_sum, axis_name)
+    denom = jnp.maximum(local_sum, 1e-10)
 
     grads = None
     losses = []
@@ -216,7 +223,7 @@ def make_train_step(cfg: Config, mlp_apply=None, axis_name: Optional[str] = None
             mlp_apply=mlp_apply,
         )
         total, level_losses = mipnerf.multiscale_loss(
-            results, pixels, rays.loss_mult, cfg
+            results, pixels, rays.loss_mult, cfg, axis_name=axis_name
         )
         if cfg.weight_decay_mult > 0:
             wl2 = sum(jnp.sum(w**2) for w, _ in params)

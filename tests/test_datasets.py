@@ -72,6 +72,28 @@ def test_blender_batches_are_random_but_seeded(blender_dir):
     np.testing.assert_array_equal(r1.origins, r2.origins)
 
 
+def test_peek_mid_iteration_deterministic(blender_dir):
+    """peek() after the prefetch worker has started must (a) equal the next
+    batch, (b) not consume it twice, and (c) not perturb the stream — the
+    old save/restore of self._rng raced the worker thread."""
+    cfg = Config(dataset_loader=DatasetType.BLENDER, batch_size=16, seed=11)
+    plain = create_dataset("train", blender_dir, cfg)
+    reference = [next(plain)[1] for _ in range(6)]
+
+    ds = create_dataset("train", blender_dir, cfg)
+    got = [next(ds)[1]]  # starts the worker
+    peeked = ds.peek()[1]
+    peeked_again = ds.peek()[1]  # repeated peek: same batch, not consumed
+    np.testing.assert_array_equal(peeked, peeked_again)
+    got.append(next(ds)[1])
+    np.testing.assert_array_equal(peeked, got[-1])
+    for _ in range(4):
+        ds.peek()
+        got.append(next(ds)[1])
+    for want, have in zip(reference, got):
+        np.testing.assert_array_equal(want, have)
+
+
 def test_image_rays_roundtrip(blender_dir):
     cfg = Config(dataset_loader=DatasetType.BLENDER, batch_size=16)
     ds = create_dataset("test", blender_dir, cfg)

@@ -147,6 +147,50 @@ def test_pallas_step_under_shard_map_matches_single_device():
         )
 
 
+@pytest.mark.parametrize("use_pallas", [False, True])
+def test_sharded_nonuniform_loss_mult_matches_single_device(use_pallas):
+    """Reference semantics: the multiscale loss normalizes by the GLOBAL
+    sum(lossMult) (Program.cs:64). With Multicam's 4^s weights arranged so
+    shard-local sums differ, the sharded step must still equal the
+    single-device step — a ratio-of-means vs mean-of-ratios trap if the
+    denominator is shard-local."""
+    cfg = tiny_config(
+        batch_size=64, num_samples=16, net_depth=2, net_width=32,
+        net_width_condition=16, max_deg_point=6, randomized=False,
+        donate_params=False, use_pallas=use_pallas, num_levels=2,
+    )
+    rays, pixels = make_batch(cfg.batch_size)
+    # Multicam-style 4^s loss mults, sorted so the 8 shards see very
+    # different local sums (shard 0 gets all-1s, shard 7 gets all-64s).
+    lm = np.repeat(
+        np.array([1.0, 4.0, 16.0, 64.0], np.float32), cfg.batch_size // 4
+    ).reshape(-1, 1)
+    rays = rays._replace(loss_mult=lm)
+
+    state0 = init_train_state(cfg)
+    single_step = make_jitted_train_step(cfg)
+    s1, st1 = single_step(
+        jax.device_put(state0),
+        Rays(*[jnp.asarray(x) for x in rays]),
+        jnp.asarray(pixels),
+    )
+
+    mesh = mesh_lib.create_mesh()
+    sh_state = mesh_lib.replicate_state(mesh, init_train_state(cfg))
+    sh_rays, sh_pixels = mesh_lib.shard_batch(mesh, rays, pixels)
+    sharded_step = mesh_lib.make_sharded_train_step(cfg, mesh)
+    s2, st2 = sharded_step(sh_state, sh_rays, sh_pixels)
+
+    np.testing.assert_allclose(float(st1.loss), float(st2.loss), rtol=1e-4)
+    for (w1, b1), (w2, b2) in zip(s1.params, s2.params):
+        np.testing.assert_allclose(
+            np.asarray(w1), np.asarray(w2), rtol=1e-4, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(b1), np.asarray(b2), rtol=1e-4, atol=1e-6
+        )
+
+
 def test_sharded_render_matches_single_device(cfg):
     """Full-image rendering over the mesh (shard_map render_fn + sharded
     chunks) == the single-device render, incl. the ragged last chunk."""
