@@ -68,6 +68,8 @@ def main():
     p.add_argument("trace_dir")
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--top", type=int, default=40)
+    p.add_argument("--raw", action="store_true",
+                   help="per-op names (with shapes) instead of families")
     args = p.parse_args()
 
     events = load_events(args.trace_dir)
@@ -114,6 +116,8 @@ def main():
 
     # Per-op self time (sync only), collapsed by op family.
     def family(name):
+        if args.raw:
+            return name[:110]
         head = name.split(" = ")[0].lstrip("%")
         return re.sub(r"\.\d+$", "", head)
 

@@ -39,7 +39,7 @@ def make_render_fn(cfg: Config, mlp_apply=None, mesh=None):
         results = mipnerf.render_rays(
             params, cfg, key, rays,
             randomized=False, white_bkgd=cfg.white_bkgd,
-            mlp_apply=mlp_apply,
+            mlp_apply=mlp_apply, inference=True,
         )
         fine = results[-1]
         return fine.rgb, fine.distance, fine.acc

@@ -92,19 +92,13 @@ def _scan_mm(x, m):
     )
 
 
-def _composite_chunk(cfg: Config, white_bkgd: bool, s: int, raw_rgb, raw_den,
-                     delta, pix, gsc):
-    """Forward composite + loss gradient + composite/activation backward for
-    one row chunk (whole rays: chunk rows = rays * s).
+def _composite_fwd_chunk(cfg: Config, white_bkgd: bool, s: int, raw_rgb,
+                         raw_den, delta):
+    """Activation + compositing forward for one row chunk.
 
-    Args:
-      raw_rgb [Tc, 3] f32, raw_den [Tc, 1] f32 (MLP head outputs);
-      delta [RTc, S] f32 precomputed (t_{i+1}-t_i)*||d||; pix [RTc, 3];
-      gsc [RTc, 1] per-ray loss-grad scale.
-    Returns:
-      comp [RTc, 3], acc_out [RTc, 1], weights [RTc, S],
-      g_rgb [Tc, 3], g_den [Tc, 1] (cotangents for the MLP heads).
-    """
+    Returns (comp [RT,3], acc [RT,1], weights [RT,S]) plus the
+    intermediates the backward reuses (sig, sp_in, alpha, trans, rgb_rs,
+    incl scan matrix)."""
     rt = delta.shape[0]
     p = cfg.rgb_padding
 
@@ -125,6 +119,27 @@ def _composite_chunk(cfg: Config, white_bkgd: bool, s: int, raw_rgb, raw_den,
     comp = jnp.sum(weights[..., None] * rgb_rs, axis=1)  # [RT, 3]
     if white_bkgd:
         comp = comp + (1.0 - acc_out)
+    return comp, acc_out, weights, (sig, sp_in, alpha, trans, rgb_rs, incl)
+
+
+def _composite_chunk(cfg: Config, white_bkgd: bool, s: int, raw_rgb, raw_den,
+                     delta, pix, gsc):
+    """Forward composite + loss gradient + composite/activation backward for
+    one row chunk (whole rays: chunk rows = rays * s).
+
+    Args:
+      raw_rgb [Tc, 3] f32, raw_den [Tc, 1] f32 (MLP head outputs);
+      delta [RTc, S] f32 precomputed (t_{i+1}-t_i)*||d||; pix [RTc, 3];
+      gsc [RTc, 1] per-ray loss-grad scale.
+    Returns:
+      comp [RTc, 3], acc_out [RTc, 1], weights [RTc, S],
+      g_rgb [Tc, 3], g_den [Tc, 1] (cotangents for the MLP heads).
+    """
+    p = cfg.rgb_padding
+    comp, acc_out, weights, saved = _composite_fwd_chunk(
+        cfg, white_bkgd, s, raw_rgb, raw_den, delta
+    )
+    sig, sp_in, alpha, trans, rgb_rs, incl = saved
 
     # Loss gradient (get_output_gradient semantics): dL/dcomp.
     g_comp = gsc * (comp - pix)                          # [RT, 3]
@@ -150,6 +165,12 @@ def _composite_chunk(cfg: Config, white_bkgd: bool, s: int, raw_rgb, raw_den,
     return comp, acc_out, weights, g_rgb, g_den
 
 
+import os as _os
+_VARIANT = _os.environ.get("FL_VARIANT", "")  # TEMP: ablation timing
+_TILE_OVERRIDE = int(_os.environ.get("FL_TILE", "0"))   # TEMP: sweep
+_IL_OVERRIDE = int(_os.environ.get("FL_IL", "0"))       # TEMP: sweep
+
+
 def _level_kernel(cfg: Config, dt, s: int, white_bkgd: bool, interleave: int,
                   *refs):
     n_layers = len(layer_dims(cfg))
@@ -163,11 +184,17 @@ def _level_kernel(cfg: Config, dt, s: int, white_bkgd: bool, interleave: int,
 
     ws = [w[...] for w in w_refs]
     bs = [b[...] for b in b_refs]
-    xs = _split_rows(x_ref[...], interleave)
+    # x arrives TRANSPOSED ([F, tile], feature-major) — the layout XLA's
+    # IPE fusion produces natively; chunks split along the row (lane) axis.
+    x_t = x_ref[...]
+    chunk = x_t.shape[1] // interleave
+    xs = [x_t[:, i * chunk : (i + 1) * chunk] for i in range(interleave)]
     ds = _split_rows(d_ref[...], interleave)
 
     # ---- forward: activations stay live for the backward ----
-    raw_rgbs, raw_dens, hs, vs = _forward_chunks(cfg, dt, s, xs, ds, ws, bs)
+    raw_rgbs, raw_dens, hs, vs = _forward_chunks(
+        cfg, dt, s, xs, ds, ws, bs, x_t=True
+    )
 
     # ---- composite + loss grad + composite bwd, per chunk ----
     deltas = _split_rows(delta_ref[...], interleave)
@@ -175,10 +202,18 @@ def _level_kernel(cfg: Config, dt, s: int, white_bkgd: bool, interleave: int,
     gscs = _split_rows(gsc_ref[...], interleave)
     comps, accs, wtss, g_rgbs, g_dens = [], [], [], [], []
     for c in range(len(xs)):
-        comp, acc_out, wts, g_rgb, g_den = _composite_chunk(
-            cfg, white_bkgd, s, raw_rgbs[c], raw_dens[c], deltas[c],
-            pixs[c], gscs[c],
-        )
+        if _VARIANT == "nocomposite":  # TEMP ablation: dummy cotangents
+            rt = deltas[c].shape[0]
+            comp = raw_rgbs[c].reshape(rt, s, 3)[:, 0, :]
+            acc_out = raw_dens[c].reshape(rt, s)[:, :1]
+            wts = deltas[c]
+            g_rgb = raw_rgbs[c] * 1e-3
+            g_den = raw_dens[c] * 1e-3
+        else:
+            comp, acc_out, wts, g_rgb, g_den = _composite_chunk(
+                cfg, white_bkgd, s, raw_rgbs[c], raw_dens[c], deltas[c],
+                pixs[c], gscs[c],
+            )
         comps.append(comp)
         accs.append(acc_out)
         wtss.append(wts)
@@ -186,12 +221,50 @@ def _level_kernel(cfg: Config, dt, s: int, white_bkgd: bool, interleave: int,
         g_dens.append(g_den)
 
     # ---- MLP backward reusing the live activations (no recompute) ----
-    _backward_chunks(
-        cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens,
-        _make_acc(), dw_refs, db_refs,
-        want_dx=False, want_dd=False, acts=(hs, vs),
-    )
+    if _VARIANT == "nobwd":  # TEMP ablation: skip the MLP backward
+        for r in list(dw_refs) + list(db_refs):
+            r[...] = jnp.zeros(r.shape, r.dtype) + g_rgbs[0][0, 0]
+    else:
+        _backward_chunks(
+            cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens,
+            _make_acc(), dw_refs, db_refs,
+            want_dx=False, want_dd=False, acts=(hs, vs), x_t=True,
+        )
 
+    comp_ref[...] = jnp.concatenate(comps, axis=0)
+    acc_ref[...] = jnp.concatenate(accs, axis=0)
+    wts_ref[...] = jnp.concatenate(wtss, axis=0)
+
+
+def _render_kernel(cfg: Config, dt, s: int, white_bkgd: bool,
+                   interleave: int, *refs):
+    """Forward-only whole level: MLP + activations + compositing, one
+    launch (the render/eval counterpart of ``_level_kernel``)."""
+    n_layers = len(layer_dims(cfg))
+    x_ref, d_ref, delta_ref = refs[:3]
+    w_refs = refs[3 : 3 + n_layers]
+    b_refs = refs[3 + n_layers : 3 + 2 * n_layers]
+    comp_ref, acc_ref, wts_ref = refs[3 + 2 * n_layers :]
+
+    ws = [w[...] for w in w_refs]
+    bs = [b[...] for b in b_refs]
+    x_t = x_ref[...]
+    chunk = x_t.shape[1] // interleave
+    xs = [x_t[:, i * chunk : (i + 1) * chunk] for i in range(interleave)]
+    ds = _split_rows(d_ref[...], interleave)
+
+    raw_rgbs, raw_dens, _, _ = _forward_chunks(
+        cfg, dt, s, xs, ds, ws, bs, x_t=True
+    )
+    deltas = _split_rows(delta_ref[...], interleave)
+    comps, accs, wtss = [], [], []
+    for c in range(len(xs)):
+        comp, acc_out, wts, _ = _composite_fwd_chunk(
+            cfg, white_bkgd, s, raw_rgbs[c], raw_dens[c], deltas[c]
+        )
+        comps.append(comp)
+        accs.append(acc_out)
+        wtss.append(wts)
     comp_ref[...] = jnp.concatenate(comps, axis=0)
     acc_ref[...] = jnp.concatenate(accs, axis=0)
     wts_ref[...] = jnp.concatenate(wtss, axis=0)
@@ -201,22 +274,23 @@ def _level_kernel(cfg: Config, dt, s: int, white_bkgd: bool, interleave: int,
     jax.jit,
     static_argnames=("cfg", "tile", "s", "white_bkgd", "interleave"),
 )
-def _fused_level_impl(params, x, d, delta, pixels, g_scale, *, cfg: Config,
-                      tile: int, s: int, white_bkgd: bool, interleave: int):
-    n = x.shape[0]
+def _fused_render_impl(params, x_t, d, delta, *, cfg: Config, tile: int,
+                       s: int, white_bkgd: bool, interleave: int):
+    feat, n = x_t.shape
     num_rays = n // s
     dims, w_specs, b_specs = _weight_specs(cfg)
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
-    xp = _pad_rows(x, tile)
+    pad = (-n) % tile
+    xp = (
+        jnp.concatenate(
+            [x_t, jnp.zeros((feat, pad), x_t.dtype)], axis=1
+        ) if pad else x_t
+    )
     rays_tile = tile // s
     dp = _pad_rows(d, rays_tile)
     deltap = _pad_rows(delta, rays_tile)
-    pixp = _pad_rows(pixels, rays_tile)
-    # Zero g_scale on padded rays: their loss gradient vanishes identically,
-    # so padding contributes nothing to dW/db.
-    gscp = _pad_rows(g_scale, rays_tile)
-    n_pad = xp.shape[0]
+    n_pad = xp.shape[1]
     r_pad = n_pad // s
     grid = (n_pad // tile,)
 
@@ -225,7 +299,121 @@ def _fused_level_impl(params, x, d, delta, pixels, g_scale, *, cfg: Config,
                             memory_space=pltpu.VMEM)
 
     in_specs = [
-        pl.BlockSpec((tile, x.shape[1]), lambda i: (i, 0),
+        pl.BlockSpec((feat, tile), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+        ray_spec(d.shape[1]),
+        ray_spec(s),
+        *w_specs,
+        *b_specs,
+    ]
+    out_specs = [ray_spec(3), ray_spec(1), ray_spec(s)]
+    out_shape = [
+        jax.ShapeDtypeStruct((r_pad, 3), jnp.float32),
+        jax.ShapeDtypeStruct((r_pad, 1), jnp.float32),
+        jax.ShapeDtypeStruct((r_pad, s), jnp.float32),
+    ]
+    flops_rows = 2 * sum(i * o for i, o in dims)
+    comp, acc_out, weights = pl.pallas_call(
+        functools.partial(_render_kernel, cfg, dt, s, white_bkgd,
+                          interleave),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        cost_estimate=pl.CostEstimate(
+            flops=flops_rows * n_pad,
+            bytes_accessed=n_pad * (feat + 8) * 2,
+            transcendentals=n_pad * 4,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=_interpret(),
+    )(
+        xp, dp, deltap,
+        *[w.astype(dt) for w, _ in params],
+        *[b.reshape(1, -1) for _, b in params],
+    )
+    return (
+        comp[:num_rays], acc_out[:num_rays, 0], weights[:num_rays]
+    )
+
+
+def fused_level_render(params: Params, cfg: Config, x_enc: jnp.ndarray,
+                       dir_enc: jnp.ndarray, t_vals: jnp.ndarray,
+                       dirs: jnp.ndarray, white_bkgd: bool,
+                       tile: int | None = None):
+    """One level's full RENDER pass (MLP + activations + compositing) as a
+    single kernel — the eval/serving counterpart of ``fused_level_train``.
+
+    Subsumes the reference render sequence (MLP launches + the
+    ``volumetric_rendering`` kernel, accelerated_functions.cu:318-344) into
+    one launch. Returns (comp_rgb [R,3], acc [R], weights [R,S]); no
+    gradients, so it is valid for any config (no stop_level_grad proviso).
+    """
+    num_rays, s, feat = x_enc.shape
+    dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+    x2d = x_enc.reshape(num_rays * s, feat).T.astype(dt)
+    d2d = dir_enc.reshape(num_rays, dir_enc.shape[-1]).astype(dt)
+    d_norm = jnp.linalg.norm(dirs, axis=-1, keepdims=True)
+    delta = ((t_vals[..., 1:] - t_vals[..., :-1]) * d_norm).astype(
+        jnp.float32
+    )
+    tile = tile or _TILE_OVERRIDE or DEFAULT_TILE_LEVEL
+    if tile % s:
+        tile = ((tile + s - 1) // s) * s
+
+    def pick_interleave(default, t):
+        il = default
+        while il > 1 and (t % il or (t // il) % s):
+            il //= 2
+        return il
+
+    interleave = pick_interleave(
+        _IL_OVERRIDE or DEFAULT_INTERLEAVE_BWD, tile
+    )
+    return _fused_render_impl(
+        params, x2d, d2d, delta, cfg=cfg, tile=tile, s=s,
+        white_bkgd=white_bkgd, interleave=interleave,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "tile", "s", "white_bkgd", "interleave"),
+)
+def _fused_level_impl(params, x_t, d, delta, pixels, g_scale, *,
+                      cfg: Config, tile: int, s: int, white_bkgd: bool,
+                      interleave: int):
+    # x_t: the [F, N] TRANSPOSED feature tensor (see _level_kernel).
+    feat, n = x_t.shape
+    num_rays = n // s
+    dims, w_specs, b_specs = _weight_specs(cfg)
+    dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+    pad = (-n) % tile
+    xp = (
+        jnp.concatenate(
+            [x_t, jnp.zeros((feat, pad), x_t.dtype)], axis=1
+        ) if pad else x_t
+    )
+    rays_tile = tile // s
+    dp = _pad_rows(d, rays_tile)
+    deltap = _pad_rows(delta, rays_tile)
+    pixp = _pad_rows(pixels, rays_tile)
+    # Zero g_scale on padded rays: their loss gradient vanishes identically,
+    # so padding contributes nothing to dW/db.
+    gscp = _pad_rows(g_scale, rays_tile)
+    n_pad = xp.shape[1]
+    r_pad = n_pad // s
+    grid = (n_pad // tile,)
+
+    def ray_spec(cols):
+        return pl.BlockSpec((rays_tile, cols), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [
+        pl.BlockSpec((feat, tile), lambda i: (0, i),
                      memory_space=pltpu.VMEM),
         ray_spec(d.shape[1]),
         ray_spec(s),
@@ -253,7 +441,7 @@ def _fused_level_impl(params, x, d, delta, pixels, g_scale, *, cfg: Config,
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=flops_rows * n_pad,
-            bytes_accessed=n_pad * (x.shape[1] + 16) * 4,
+            bytes_accessed=n_pad * (feat + 16) * 4,
             transcendentals=n_pad * 8,
         ),
         compiler_params=pltpu.CompilerParams(
@@ -296,13 +484,16 @@ def fused_level_train(params: Params, cfg: Config, x_enc: jnp.ndarray,
     """
     num_rays, s, feat = x_enc.shape
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    x2d = x_enc.reshape(num_rays * s, feat).astype(dt)
+    # Transposed features: XLA's IPE fusion computes feature-major (N minor)
+    # anyway, so transpose(reshape(...)) fuses into it with NO copy, where
+    # the row-major form needed two full-tensor layout copies.
+    x2d = x_enc.reshape(num_rays * s, feat).T.astype(dt)
     d2d = dir_enc.reshape(num_rays, dir_enc.shape[-1]).astype(dt)
     d_norm = jnp.linalg.norm(dirs, axis=-1, keepdims=True)
     delta = ((t_vals[..., 1:] - t_vals[..., :-1]) * d_norm).astype(
         jnp.float32
     )
-    tile = tile or DEFAULT_TILE_LEVEL
+    tile = tile or _TILE_OVERRIDE or DEFAULT_TILE_LEVEL
     if tile % s:
         tile = ((tile + s - 1) // s) * s  # tiles must cover whole rays
 
@@ -312,7 +503,9 @@ def fused_level_train(params: Params, cfg: Config, x_enc: jnp.ndarray,
             il //= 2
         return il
 
-    interleave = pick_interleave(DEFAULT_INTERLEAVE_BWD, tile)
+    interleave = pick_interleave(
+        _IL_OVERRIDE or DEFAULT_INTERLEAVE_BWD, tile
+    )
     return _fused_level_impl(
         params, x2d, d2d, delta, pixels.astype(jnp.float32),
         g_scale.astype(jnp.float32), cfg=cfg, tile=tile, s=s,

@@ -32,9 +32,15 @@ output scalar, 12 kernel launches with a ``cudaDeviceSynchronize`` after each,
   matmuls and HBM writes are statically elided (~6% off the backward).
 
 The Adam update is NOT folded in here (the reference fuses it to save kernel
-launches, accelerated_functions.cu:403): under XLA the whole elementwise
-Adam update over 494k params is one fused ~10 us loop — folding it into the
-matmul kernel would buy nothing and force optimizer state through VMEM.
+launches, accelerated_functions.cu:403). MEASURED, not asserted (XProf
+per-op trace of the flagship step, docs/PERF.md r3): the entire non-kernel
+XLA remainder — Adam, grad clip/stats, sampling, resampling, dispatch — is
+~0.6 ms/step, of which the Adam/clip fusions are ~0.02 ms (the grad-norm
+concatenate is 0.011 ms, every Adam fusion is below the 0.001 ms floor).
+Folding Adam into the final grid step could recover at most ~0.3% of the
+step while forcing the m/v state through VMEM and serializing the last
+grid step against 6 extra MB of operands; the reference's fusion win was
+launch overhead its own per-tensor kernel design created.
 
 Numerics gate: ``tests/test_kernels_mlp.py`` asserts allclose vs
 ``models.mlp.apply_mlp`` (the oracle) for forward and for jax.grad.
@@ -96,7 +102,7 @@ def _mm_nt(a, b, dt, out_dt=jnp.float32):
     )
 
 
-def _forward_chunks(cfg: Config, dt, s: int, xs, ds, ws, bs):
+def _forward_chunks(cfg: Config, dt, s: int, xs, ds, ws, bs, x_t=False):
     """Shared fwd math on a LIST of independent row chunks.
 
     Each layer is computed for every chunk before moving to the next layer —
@@ -115,7 +121,15 @@ def _forward_chunks(cfg: Config, dt, s: int, xs, ds, ws, bs):
     broadcast to the ray's rows in VMEM — the reference encodes the
     direction once per ray too (MipNerfModel.cs:70), but the unfused path
     materializes the [rays*samples, Fd] broadcast through HBM.
+
+    ``x_t``: the encoded-position chunks come TRANSPOSED ([F, rows] instead
+    of [rows, F]). XLA's layout assignment computes the IPE feature-major
+    (N minor); accepting that layout directly removes two full-tensor
+    layout copies per level (~0.18 ms/step measured) — the MXU contracts
+    either operand orientation at the same cost (dot_general dims).
     """
+    import os as _os  # TEMP probe switch (epilogue cost attribution)
+    _probe = _os.environ.get("FM_PROBE", "")
     D, Dc = cfg.net_depth, cfg.net_depth_condition
     skip = cfg.skip_layer
     nw = cfg.net_width
@@ -123,21 +137,31 @@ def _forward_chunks(cfg: Config, dt, s: int, xs, ds, ws, bs):
 
     xs = [x.astype(dt) for x in xs]
     ds = [d.astype(dt) for d in ds]
+    mm_x = _mm_tn if x_t else _mm  # x @ W with x possibly stored as x^T
+
+    def epilogue(z, b):
+        if _probe == "nobias":
+            return jnp.maximum(z, 0.0).astype(dt)
+        if _probe == "nomax":
+            return (z + b).astype(dt)
+        if _probe == "nocast":
+            return jnp.maximum(z + b, 0.0)
+        return jnp.maximum(z + b, 0.0).astype(dt)
 
     hs: List[List[Any]] = [[] for _ in range(C)]
-    hcur = list(xs)
+    hcur = [None] * C
     for i in range(D):
         w, b = ws[i], bs[i]
         for c in range(C):
             if i % skip == 0 and i > 0:
                 # concat(h, x) @ w == h @ w_top + x @ w_bot
                 z = (_mm(hcur[c], w[:nw, :], dt)
-                     + _mm(xs[c], w[nw:, :], dt) + b)
+                     + mm_x(xs[c], w[nw:, :], dt))
             elif i == 0:
-                z = _mm(xs[c], w, dt) + b
+                z = mm_x(xs[c], w, dt)
             else:
-                z = _mm(hcur[c], w, dt) + b
-            hcur[c] = jnp.maximum(z, 0.0).astype(dt)
+                z = _mm(hcur[c], w, dt)
+            hcur[c] = epilogue(z, b)
             hs[c].append(hcur[c])
 
     raw_density = [_mm(hcur[c], ws[D], dt) + bs[D] for c in range(C)]
@@ -149,15 +173,15 @@ def _forward_chunks(cfg: Config, dt, s: int, xs, ds, ws, bs):
         for c in range(C):
             if j == 0:
                 dc = _mm(ds[c], w[nw:, :], dt)  # [chunk/s, nwc], per ray
-                chunk = xs[c].shape[0]
+                chunk = xs[c].shape[1] if x_t else xs[c].shape[0]
                 if s > 1:
                     dc = jnp.broadcast_to(
                         dc[:, None, :], (chunk // s, s, dc.shape[-1])
                     ).reshape(chunk, dc.shape[-1])
-                z = _mm(hv[c], w[:nw, :], dt) + dc + b
+                z = _mm(hv[c], w[:nw, :], dt) + dc
             else:
-                z = _mm(hv[c], w, dt) + b
-            hv[c] = jnp.maximum(z, 0.0).astype(dt)
+                z = _mm(hv[c], w, dt)
+            hv[c] = epilogue(z, b)
             vs[c].append(hv[c])
 
     raw_rgb = [_mm(hv[c], ws[D + 1 + Dc], dt) + bs[D + 1 + Dc]
@@ -217,7 +241,7 @@ def _make_acc():
 
 def _backward_chunks(cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens, acc,
                      dw_refs, db_refs, want_dx=True, want_dd=True,
-                     acts=None):
+                     acts=None, x_t=False):
     """Recompute-forward + full reverse pass over a LIST of independent row
     chunks; returns (list of g_x or None, list of per-ray g_d or None).
 
@@ -243,10 +267,11 @@ def _backward_chunks(cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens, acc,
     nw = cfg.net_width
     C = len(xs)
     R = range(C)
+    assert not (x_t and want_dx), "transposed-x mode elides dX"
 
     xs = [x.astype(dt) for x in xs]
     if acts is None:
-        _, _, hs, vs = _forward_chunks(cfg, dt, s, xs, ds, ws, bs)
+        _, _, hs, vs = _forward_chunks(cfg, dt, s, xs, ds, ws, bs, x_t=x_t)
     else:
         hs, vs = acts
 
@@ -258,6 +283,12 @@ def _backward_chunks(cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens, acc,
 
     def dw(h_ins, gs):
         return sum(_mm_tn(h_ins[c], gs[c], dt) for c in R)
+
+    def dw_x(gs):
+        # x^T @ g with x stored transposed: a plain [F, rows] @ [rows, out]
+        if x_t:
+            return sum(_mm(xs[c], gs[c], dt) for c in R)
+        return sum(_mm_tn(xs[c], gs[c], dt) for c in R)
 
     # ---- rgb head ----
     i_rgb = D + 1 + Dc
@@ -281,7 +312,7 @@ def _backward_chunks(cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens, acc,
             if s > 1:
                 g_ray = [
                     jnp.sum(
-                        g[c].reshape(xs[c].shape[0] // s, s, g[c].shape[-1]),
+                        g[c].reshape(g[c].shape[0] // s, s, g[c].shape[-1]),
                         axis=1, dtype=jnp.float32,
                     )
                     for c in R
@@ -314,11 +345,11 @@ def _backward_chunks(cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens, acc,
     g_x = [jnp.zeros_like(xs[c]) for c in R] if want_dx else [None] * C
     for i in range(D - 1, -1, -1):
         g = [g[c] * (hs[c][i].astype(jnp.float32) > 0.0) for c in R]
-        h_in = [hs[c][i - 1] if i > 0 else xs[c] for c in R]
+        h_in = [hs[c][i - 1] if i > 0 else None for c in R]
         if i % skip == 0 and i > 0:
             acc(
                 dw_refs[i],
-                jnp.concatenate([dw(h_in, g), dw(xs, g)], axis=0),
+                jnp.concatenate([dw(h_in, g), dw_x(g)], axis=0),
             )
             acc(db_refs[i], db(g))
             if want_dx:
@@ -328,7 +359,7 @@ def _backward_chunks(cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens, acc,
                 ]
             g = [_mm_nt(g[c], ws[i][:nw, :], dt).astype(dt) for c in R]
         else:
-            acc(dw_refs[i], dw(h_in, g))
+            acc(dw_refs[i], dw(h_in, g) if i > 0 else dw_x(g))
             acc(db_refs[i], db(g))
             if i > 0 or want_dx:
                 g = [_mm_nt(g[c], ws[i], dt).astype(dt) for c in R]

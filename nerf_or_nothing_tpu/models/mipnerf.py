@@ -47,6 +47,7 @@ def render_rays(
     randomized: bool,
     white_bkgd: bool,
     mlp_apply=None,
+    inference: bool = False,
 ) -> List[render.RenderResult]:
     """Full hierarchical forward; one RenderResult per level.
 
@@ -55,10 +56,23 @@ def render_rays(
       mlp_apply: optional override of the MLP forward (the Pallas fused
         kernel plugs in here); signature (params, cfg, x, dir_enc) ->
         (raw_rgb, raw_density).
+      inference: render-only call (never differentiated). On the Pallas
+        path each level then runs as ONE fused kernel
+        (``fused_level_render``: MLP + activations + compositing), the
+        eval counterpart of the fused training kernel.
     """
     dt = _compute_dtype(cfg)
     fused_encode = None
     fused_kernel = False
+    fused_render = None
+    if mlp_apply is None and inference and cfg.use_pallas and cfg.fuse_level:
+        if (not cfg.fuse_ipe and cfg.num_rgb_channels == 3
+                and cfg.num_density_channels == 1):
+            from nerf_or_nothing_tpu.kernels.fused_level import (
+                fused_level_render,
+            )
+
+            fused_render = fused_level_render
     if mlp_apply is None:
         if cfg.use_pallas and cfg.fuse_ipe and cfg.diag_covariance:
             # Fully fused path: IPE computed inside the kernel — the
@@ -115,6 +129,25 @@ def render_rays(
                 diag=cfg.diag_covariance,
             )
 
+        if fused_render is not None:
+            x_enc = ipe.integrated_pos_enc(
+                (means, covs), cfg.min_deg_point, cfg.max_deg_point,
+                diag=cfg.diag_covariance, dtype=dt,
+            )
+            comp_rgb, acc, weights = fused_render(
+                params, cfg, x_enc, dir_enc, t_vals, rays.directions,
+                white_bkgd,
+            )
+            mids = 0.5 * (t_vals[..., :-1] + t_vals[..., 1:])
+            distance = jnp.clip(
+                jnp.sum(weights * mids, axis=-1) / jnp.maximum(acc, 1e-10),
+                t_vals[..., 0],
+                t_vals[..., -1],
+            )
+            results.append(
+                render.RenderResult(comp_rgb, distance, acc, weights)
+            )
+            continue
         if fused_encode is not None:
             raw_rgb, raw_density = fused_encode(
                 params, cfg, means, covs, dir_enc
@@ -123,6 +156,9 @@ def render_rays(
             x_enc = ipe.integrated_pos_enc(
                 (means, covs), cfg.min_deg_point, cfg.max_deg_point,
                 diag=cfg.diag_covariance,
+                # Pallas path: cast inside the encode fusion (the kernel
+                # wrapper would cast anyway; this keeps the HBM copy bf16).
+                dtype=dt if fused_kernel else None,
             )
             kwargs = {}
             if fused_kernel:

@@ -141,6 +141,7 @@ def integrated_pos_enc(
     min_deg: int,
     max_deg: int,
     diag: bool = True,
+    dtype=None,
 ) -> jnp.ndarray:
     """IPE of Gaussian samples (MipHelpers.cs:429-471).
 
@@ -149,12 +150,21 @@ def integrated_pos_enc(
     features = concat_i [E_sin(2^i mu, 4^i var), E_sin(2^i mu + pi/2, ...)].
     Returns [..., S, 2*(max_deg-min_deg)*3]. Identity is NOT included
     (unlike pos_enc), matching the reference and canonical mip-NeRF.
+
+    Structure is deliberately 2D-flat: leading dims are collapsed and the
+    features emitted as ONE last-axis concatenation of [N, 3] blocks, so XLA
+    compiles the whole encode into a single fusion writing the row-major
+    [N, 96] tensor the Pallas kernels consume — the previous 4D
+    [R, S, F, 6] intermediate forced two full-tensor layout copies
+    (~0.17 ms/step measured, docs/PERF.md r3). ``dtype`` casts the output
+    inside the same fusion (bf16 for the kernel path: halves the HBM write).
     """
     mean, cov = means_covs
     if not diag:
         # Per-axis variance from the full covariance: row-norms of (cov*scale)
         # reduce to diag(cov) scaling — extract the diagonal.
         cov = jnp.diagonal(cov, axis1=-2, axis2=-1)
+    out_dt = dtype or mean.dtype
     scales = jnp.asarray(
         [2.0**i for i in range(min_deg, max_deg)], dtype=mean.dtype
     )
@@ -166,10 +176,12 @@ def integrated_pos_enc(
     # transcendentals vs two expected_sin calls (this op runs on the full
     # [rays*samples, F, 3] tensor every level, so it is HBM/VPU-visible).
     damp = jnp.exp(-0.5 * y_var)
-    sin_mean = damp * jnp.sin(y)
-    cos_mean = damp * jnp.cos(y)
-    # Interleave per-frequency [sin(3), cos(3)] like the reference layout.
-    feats = jnp.concatenate([sin_mean, cos_mean], axis=-1)  # [..., F, 6]
+    # Interleave per-frequency [sin(3), cos(3)] like the reference layout;
+    # the dtype cast happens inside this same fusion (bf16 on the kernel
+    # path halves the HBM write of the [R*S, 96] feature tensor).
+    feats = jnp.concatenate(
+        [damp * jnp.sin(y), damp * jnp.cos(y)], axis=-1
+    ).astype(out_dt)                                   # [..., F, 6]
     return feats.reshape(*feats.shape[:-2], -1)
 
 

@@ -160,6 +160,9 @@ def _fused_level_value_and_grad(cfg: Config, params, key, rays: Rays,
         x_enc = ipe_lib.integrated_pos_enc(
             (means, covs), cfg.min_deg_point, cfg.max_deg_point,
             diag=cfg.diag_covariance,
+            # bf16 inside the encode fusion: halves the [R*S, 96] HBM write
+            # and feeds the kernel its compute dtype directly.
+            dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None,
         )
         level_weight = (
             1.0 if i_level == cfg.num_levels - 1 else cfg.coarse_loss_mult

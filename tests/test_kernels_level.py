@@ -124,24 +124,24 @@ def test_fused_level_masked_loss_and_padding():
         )
 
 
+def make_rays(R, seed=0):
+    rng = np.random.default_rng(seed)
+    d = rng.normal(size=(R, 3)).astype(np.float32)
+    vd = d / np.linalg.norm(d, axis=-1, keepdims=True)
+    ones = np.ones((R, 1), np.float32)
+    return (
+        Rays(
+            jnp.zeros((R, 3)), jnp.asarray(d), jnp.asarray(vd),
+            jnp.asarray(ones * 0.005), jnp.asarray(ones * 2.0),
+            jnp.asarray(ones * 6.0), jnp.asarray(ones),
+        ),
+        jnp.asarray(rng.uniform(size=(R, 3)).astype(np.float32)),
+    )
+
+
 def test_fused_level_train_step_matches_unfused():
     """Full train step: fuse_level=True == fuse_level=False (the per-kernel
     Pallas path) == plain XLA, at identical f32 precision."""
-
-    def make_rays(R, seed=0):
-        rng = np.random.default_rng(seed)
-        d = rng.normal(size=(R, 3)).astype(np.float32)
-        vd = d / np.linalg.norm(d, axis=-1, keepdims=True)
-        ones = np.ones((R, 1), np.float32)
-        return (
-            Rays(
-                jnp.zeros((R, 3)), jnp.asarray(d), jnp.asarray(vd),
-                jnp.asarray(ones * 0.005), jnp.asarray(ones * 2.0),
-                jnp.asarray(ones * 6.0), jnp.asarray(ones),
-            ),
-            jnp.asarray(rng.uniform(size=(R, 3)).astype(np.float32)),
-        )
-
     base = tiny_config(
         batch_size=16, num_samples=8, num_levels=2, net_depth=3,
         net_width=32, net_width_condition=16, skip_layer=2, max_deg_point=4,
@@ -181,3 +181,52 @@ def test_fused_level_train_step_matches_unfused():
                 np.asarray(b1), np.asarray(b2), rtol=1e-4, atol=1e-6,
                 err_msg=other,
             )
+
+
+def test_fused_level_render_matches_oracle():
+    """The forward-only render kernel (fused_level_render) == the unfused
+    MLP + composite oracle, including the masked/padded tile tail."""
+    from nerf_or_nothing_tpu.kernels.fused_level import fused_level_render
+
+    cfg = small_cfg()
+    params, x_enc, dir_enc, t_vals, dirs, _ = make_level_inputs(
+        cfg, R=5, seed=7
+    )
+    for white_bkgd in (True, False):
+        comp, acc, weights = fused_level_render(
+            params, cfg, x_enc, dir_enc, t_vals, dirs, white_bkgd, tile=16,
+        )
+        raw_rgb, raw_den = mlp_lib.apply_mlp(params, cfg, x_enc, dir_enc)
+        rgb = jax.nn.sigmoid(raw_rgb)
+        rgb = rgb * (1.0 + 2.0 * cfg.rgb_padding) - cfg.rgb_padding
+        density = jax.nn.softplus(raw_den[..., 0] + cfg.density_bias)
+        comp_ref, acc_ref, w_ref = render.composite(
+            rgb, density, t_vals, dirs, white_bkgd
+        )
+        np.testing.assert_allclose(comp, comp_ref, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(acc, acc_ref, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(weights, w_ref, rtol=1e-4, atol=1e-5)
+
+
+def test_inference_render_path_matches_training_forward():
+    """make_render_fn(inference fused-render path) == the plain-XLA render
+    on the same params: the eval kernel is numerically the same model."""
+    from nerf_or_nothing_tpu.eval import make_render_fn
+
+    cfg = tiny_config(
+        batch_size=16, num_samples=8, num_levels=2, net_depth=3,
+        net_width=32, net_width_condition=16, skip_layer=2, max_deg_point=4,
+        randomized=False, donate_params=False, compute_dtype="float32",
+        use_pallas=True,
+    )
+    rays, _ = make_rays(cfg.batch_size)
+    params = init_train_state(cfg).params
+    key = jax.random.PRNGKey(0)
+
+    rgb_f, dist_f, acc_f = make_render_fn(cfg)(params, key, rays)
+    rgb_o, dist_o, acc_o = make_render_fn(cfg.replace(use_pallas=False))(
+        params, key, rays
+    )
+    np.testing.assert_allclose(rgb_f, rgb_o, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(dist_f, dist_o, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(acc_f, acc_o, rtol=1e-4, atol=1e-5)
