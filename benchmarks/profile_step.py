@@ -66,6 +66,7 @@ def main():
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--batch-size", type=int, default=1024)
     p.add_argument("--keep-trace", type=str, default="")
+    p.add_argument("--fuse-ipe", action="store_true")
     args = p.parse_args()
 
     import jax
@@ -81,7 +82,7 @@ def main():
         init_train_state, make_jitted_train_step,
     )
 
-    cfg = Config(batch_size=args.batch_size)
+    cfg = Config(batch_size=args.batch_size, fuse_ipe=args.fuse_ipe)
     state = init_train_state(cfg)
     rays, pixels = _example_batch(cfg, cfg.batch_size)
     step = make_jitted_train_step(cfg)

@@ -120,10 +120,12 @@ class Config:
     # Requires stop_level_grad (level gradients must be independent);
     # effective only on the training path with use_pallas.
     fuse_level: bool = True
-    # Compute the IPE inside the Pallas kernel too. Measured SLOWER on v5e
-    # (16.6 vs 11.0 ms/step at batch 1024: Mosaic's lane utilization on the
-    # 3-wide encode inputs loses more than the skipped HBM round trip
-    # saves), so off by default; kept as an option for other chip gens.
+    # Compute the IPE inside the fused-level kernel too (requires
+    # diag_covariance): sample mean/variance enter the kernel transposed
+    # ([3, N] — full 128-lane rows, unlike the round-1 row-major attempt
+    # whose 3-wide inputs starved the lanes and measured 16.6 vs 11.0
+    # ms/step), sin/cos run on the VPU under the MXU's shadow, and the
+    # [R*S, 96] feature tensor plus its XLA encode fusion disappear.
     fuse_ipe: bool = False
     debug_nans: bool = False        # jax_debug_nans sanitizer mode (§5.2)
     # checkify-instrumented train step: traps NaN/inf generation and OOB

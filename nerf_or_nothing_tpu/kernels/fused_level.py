@@ -165,30 +165,138 @@ def _composite_chunk(cfg: Config, white_bkgd: bool, s: int, raw_rgb, raw_den,
     return comp, acc_out, weights, g_rgb, g_den
 
 
+# Perf-attribution hooks used by benchmarks/profile_step.py ablations
+# (docs/PERF.md "kernel-internal decomposition"); inert unless set.
 import os as _os
-_VARIANT = _os.environ.get("FL_VARIANT", "")  # TEMP: ablation timing
-_TILE_OVERRIDE = int(_os.environ.get("FL_TILE", "0"))   # TEMP: sweep
-_IL_OVERRIDE = int(_os.environ.get("FL_IL", "0"))       # TEMP: sweep
+_VARIANT = _os.environ.get("FL_VARIANT", "")         # e.g. "nobwd"
+_TILE_OVERRIDE = int(_os.environ.get("FL_TILE", "0"))  # row-tile sweep
+_IL_OVERRIDE = int(_os.environ.get("FL_IL", "0"))      # interleave sweep
+
+
+def _ipe_perm(cfg: Config):
+    """Row permutation mapping the in-kernel IPE's [all-sin | all-cos]
+    feature order back to the reference interleaved [sin3, cos3]-per-
+    frequency order (ops/ipe.integrated_pos_enc layout).
+
+    perm[j] = which interleaved-order row the j-th permuted row is; use it
+    to gather weight rows going IN (w_perm = w[perm]) and argsort(perm) to
+    scatter dW rows coming OUT."""
+    F = cfg.max_deg_point - cfg.min_deg_point
+    sin_rows = [6 * i + k for i in range(F) for k in range(3)]
+    cos_rows = [6 * i + 3 + k for i in range(F) for k in range(3)]
+    perm = np.asarray(sin_rows + cos_rows)
+    return perm, np.argsort(perm)
+
+
+def _encode_chunk(cfg: Config, dt, mT, vT):
+    """In-kernel IPE of one transposed chunk: [3, rows] mean/var ->
+    ([3F, rows] sin-features, [3F, rows] cos-features), bf16.
+
+    Same math as ops/ipe.integrated_pos_enc (shared exp(-var/2) damping,
+    f32 transcendentals — bf16 y would destroy the phase at high
+    frequencies), emitted as separate sin/cos halves so the interleaved
+    feature tensor never exists: the consuming matmuls use sin-rows-first
+    permuted weights (``_ipe_perm``) and a two-part split matmul.
+
+    In the transposed (feature-major) layout the rows axis fills all 128
+    lanes, fixing the lane-starvation that made the round-1 row-major
+    fused-IPE kernel a loss (Config.fuse_ipe history).
+    """
+    F = cfg.max_deg_point - cfg.min_deg_point
+    # scales[j] = 2^(min_deg + j//3), built in-kernel (pallas_call rejects
+    # captured constant arrays).
+    row = jax.lax.broadcasted_iota(jnp.int32, (3 * F, 1), 0)
+    scales = jnp.exp2(
+        (cfg.min_deg_point + row // 3).astype(jnp.float32)
+    )  # [3F, 1]
+    m = jnp.concatenate([mT] * F, axis=0)  # [3F, rows]
+    v = jnp.concatenate([vT] * F, axis=0)
+    y = m * scales
+    damp = jnp.exp(v * (-0.5) * (scales * scales))
+    s48 = (damp * jnp.sin(y)).astype(dt)
+    c48 = (damp * jnp.cos(y)).astype(dt)
+    return s48, c48
+
+
+def _ipe_weight_layers(cfg: Config):
+    """Indices of layers whose weight rows consume the encoded position
+    (layer 0 fully; skip-concat layers in their bottom x-row block)."""
+    return [0] + [
+        i for i in range(1, cfg.net_depth) if i % cfg.skip_layer == 0
+    ]
+
+
+def _permute_ipe_weights(params, cfg: Config):
+    """Reorder x-consuming weight rows sin-first for the in-kernel IPE."""
+    perm, _ = _ipe_perm(cfg)
+    nw = cfg.net_width
+    ipe_layers = set(_ipe_weight_layers(cfg))
+    out = []
+    for i, (w, b) in enumerate(params):
+        if i == 0:
+            w = w[perm]
+        elif i in ipe_layers:
+            w = jnp.concatenate([w[:nw], w[nw:][perm]], axis=0)
+        out.append((w, b))
+    return out
+
+
+def _unpermute_ipe_dw(d_params, cfg: Config):
+    """Scatter in-kernel-IPE dW rows back to the reference row order."""
+    _, inv = _ipe_perm(cfg)
+    nw = cfg.net_width
+    ipe_layers = set(_ipe_weight_layers(cfg))
+    out = []
+    for i, (dw, db) in enumerate(d_params):
+        if i == 0:
+            dw = dw[inv]
+        elif i in ipe_layers:
+            dw = jnp.concatenate([dw[:nw], dw[nw:][inv]], axis=0)
+        out.append((dw, db))
+    return out
 
 
 def _level_kernel(cfg: Config, dt, s: int, white_bkgd: bool, interleave: int,
-                  *refs):
+                  fuse_ipe: bool, *refs):
     n_layers = len(layer_dims(cfg))
-    x_ref, d_ref, delta_ref, pix_ref, gsc_ref = refs[:5]
-    w_refs = refs[5 : 5 + n_layers]
-    b_refs = refs[5 + n_layers : 5 + 2 * n_layers]
-    out = refs[5 + 2 * n_layers :]
+    if fuse_ipe:
+        m_ref, v_ref, d_ref, delta_ref, pix_ref, gsc_ref = refs[:6]
+        rest = refs[6:]
+    else:
+        x_ref, d_ref, delta_ref, pix_ref, gsc_ref = refs[:5]
+        rest = refs[5:]
+    w_refs = rest[:n_layers]
+    b_refs = rest[n_layers : 2 * n_layers]
+    out = rest[2 * n_layers :]
     dw_refs = out[:n_layers]
     db_refs = out[n_layers : 2 * n_layers]
     comp_ref, acc_ref, wts_ref = out[2 * n_layers : 2 * n_layers + 3]
 
     ws = [w[...] for w in w_refs]
     bs = [b[...] for b in b_refs]
-    # x arrives TRANSPOSED ([F, tile], feature-major) — the layout XLA's
-    # IPE fusion produces natively; chunks split along the row (lane) axis.
-    x_t = x_ref[...]
-    chunk = x_t.shape[1] // interleave
-    xs = [x_t[:, i * chunk : (i + 1) * chunk] for i in range(interleave)]
+    if fuse_ipe:
+        # In-kernel IPE: chunks of transposed [3, rows] sample mean/var ->
+        # (sin, cos) feature halves; the [R*S, 96] tensor never exists in
+        # HBM and the XLA encode fusion disappears entirely.
+        mT, vT = m_ref[...], v_ref[...]
+        chunk = mT.shape[1] // interleave
+        xs = [
+            _encode_chunk(
+                cfg, dt,
+                mT[:, i * chunk : (i + 1) * chunk],
+                vT[:, i * chunk : (i + 1) * chunk],
+            )
+            for i in range(interleave)
+        ]
+    else:
+        # x arrives TRANSPOSED ([F, tile], feature-major) — the layout
+        # XLA's IPE fusion produces natively; chunks split along the row
+        # (lane) axis.
+        x_t = x_ref[...]
+        chunk = x_t.shape[1] // interleave
+        xs = [
+            x_t[:, i * chunk : (i + 1) * chunk] for i in range(interleave)
+        ]
     ds = _split_rows(d_ref[...], interleave)
 
     # ---- forward: activations stay live for the backward ----
@@ -196,32 +304,22 @@ def _level_kernel(cfg: Config, dt, s: int, white_bkgd: bool, interleave: int,
         cfg, dt, s, xs, ds, ws, bs, x_t=True
     )
 
-    # ---- composite + loss grad + composite bwd, per chunk ----
-    deltas = _split_rows(delta_ref[...], interleave)
-    pixs = _split_rows(pix_ref[...], interleave)
-    gscs = _split_rows(gsc_ref[...], interleave)
-    comps, accs, wtss, g_rgbs, g_dens = [], [], [], [], []
-    for c in range(len(xs)):
-        if _VARIANT == "nocomposite":  # TEMP ablation: dummy cotangents
-            rt = deltas[c].shape[0]
-            comp = raw_rgbs[c].reshape(rt, s, 3)[:, 0, :]
-            acc_out = raw_dens[c].reshape(rt, s)[:, :1]
-            wts = deltas[c]
-            g_rgb = raw_rgbs[c] * 1e-3
-            g_den = raw_dens[c] * 1e-3
-        else:
-            comp, acc_out, wts, g_rgb, g_den = _composite_chunk(
-                cfg, white_bkgd, s, raw_rgbs[c], raw_dens[c], deltas[c],
-                pixs[c], gscs[c],
-            )
-        comps.append(comp)
-        accs.append(acc_out)
-        wtss.append(wts)
-        g_rgbs.append(g_rgb)
-        g_dens.append(g_den)
+    # ---- composite + loss grad + composite bwd, whole tile at once ----
+    # The composite tensors are [rays_tile, S]-sized (tiny next to the MLP
+    # activations); batching all chunks into ONE composite turns the
+    # 2*interleave few-row scan matmuls into 2 full-tile ones and issues
+    # each VPU elementwise chain once instead of `interleave` times.
+    raw_rgb = jnp.concatenate(raw_rgbs, axis=0)
+    raw_den = jnp.concatenate(raw_dens, axis=0)
+    comp, acc_out, wts, g_rgb, g_den = _composite_chunk(
+        cfg, white_bkgd, s, raw_rgb, raw_den, delta_ref[...],
+        pix_ref[...], gsc_ref[...],
+    )
+    g_rgbs = _split_rows(g_rgb, interleave)
+    g_dens = _split_rows(g_den, interleave)
 
     # ---- MLP backward reusing the live activations (no recompute) ----
-    if _VARIANT == "nobwd":  # TEMP ablation: skip the MLP backward
+    if _VARIANT == "nobwd":  # perf-attribution ablation: skip MLP backward
         for r in list(dw_refs) + list(db_refs):
             r[...] = jnp.zeros(r.shape, r.dtype) + g_rgbs[0][0, 0]
     else:
@@ -231,66 +329,101 @@ def _level_kernel(cfg: Config, dt, s: int, white_bkgd: bool, interleave: int,
             want_dx=False, want_dd=False, acts=(hs, vs), x_t=True,
         )
 
-    comp_ref[...] = jnp.concatenate(comps, axis=0)
-    acc_ref[...] = jnp.concatenate(accs, axis=0)
-    wts_ref[...] = jnp.concatenate(wtss, axis=0)
+    comp_ref[...] = comp
+    acc_ref[...] = acc_out
+    wts_ref[...] = wts
 
 
 def _render_kernel(cfg: Config, dt, s: int, white_bkgd: bool,
-                   interleave: int, *refs):
+                   interleave: int, fuse_ipe: bool, *refs):
     """Forward-only whole level: MLP + activations + compositing, one
     launch (the render/eval counterpart of ``_level_kernel``)."""
     n_layers = len(layer_dims(cfg))
-    x_ref, d_ref, delta_ref = refs[:3]
-    w_refs = refs[3 : 3 + n_layers]
-    b_refs = refs[3 + n_layers : 3 + 2 * n_layers]
-    comp_ref, acc_ref, wts_ref = refs[3 + 2 * n_layers :]
+    if fuse_ipe:
+        m_ref, v_ref, d_ref, delta_ref = refs[:4]
+        rest = refs[4:]
+    else:
+        x_ref, d_ref, delta_ref = refs[:3]
+        rest = refs[3:]
+    w_refs = rest[:n_layers]
+    b_refs = rest[n_layers : 2 * n_layers]
+    comp_ref, acc_ref, wts_ref = rest[2 * n_layers :]
 
     ws = [w[...] for w in w_refs]
     bs = [b[...] for b in b_refs]
-    x_t = x_ref[...]
-    chunk = x_t.shape[1] // interleave
-    xs = [x_t[:, i * chunk : (i + 1) * chunk] for i in range(interleave)]
+    if fuse_ipe:
+        mT, vT = m_ref[...], v_ref[...]
+        chunk = mT.shape[1] // interleave
+        xs = [
+            _encode_chunk(
+                cfg, dt,
+                mT[:, i * chunk : (i + 1) * chunk],
+                vT[:, i * chunk : (i + 1) * chunk],
+            )
+            for i in range(interleave)
+        ]
+    else:
+        x_t = x_ref[...]
+        chunk = x_t.shape[1] // interleave
+        xs = [
+            x_t[:, i * chunk : (i + 1) * chunk] for i in range(interleave)
+        ]
     ds = _split_rows(d_ref[...], interleave)
 
     raw_rgbs, raw_dens, _, _ = _forward_chunks(
         cfg, dt, s, xs, ds, ws, bs, x_t=True
     )
-    deltas = _split_rows(delta_ref[...], interleave)
-    comps, accs, wtss = [], [], []
-    for c in range(len(xs)):
-        comp, acc_out, wts, _ = _composite_fwd_chunk(
-            cfg, white_bkgd, s, raw_rgbs[c], raw_dens[c], deltas[c]
+    comp, acc_out, wts, _ = _composite_fwd_chunk(
+        cfg, white_bkgd, s, jnp.concatenate(raw_rgbs, axis=0),
+        jnp.concatenate(raw_dens, axis=0), delta_ref[...],
+    )
+    comp_ref[...] = comp
+    acc_ref[...] = acc_out
+    wts_ref[...] = wts
+
+
+def _pad_cols(a, tile):
+    pad = (-a.shape[1]) % tile
+    if pad:
+        a = jnp.concatenate(
+            [a, jnp.zeros((a.shape[0], pad), a.dtype)], axis=1
         )
-        comps.append(comp)
-        accs.append(acc_out)
-        wtss.append(wts)
-    comp_ref[...] = jnp.concatenate(comps, axis=0)
-    acc_ref[...] = jnp.concatenate(accs, axis=0)
-    wts_ref[...] = jnp.concatenate(wtss, axis=0)
+    return a
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "tile", "s", "white_bkgd", "interleave"),
+    static_argnames=("cfg", "tile", "s", "white_bkgd", "interleave",
+                     "fuse_ipe"),
 )
-def _fused_render_impl(params, x_t, d, delta, *, cfg: Config, tile: int,
-                       s: int, white_bkgd: bool, interleave: int):
-    feat, n = x_t.shape
+def _fused_render_impl(params, xs_in, d, delta, *, cfg: Config, tile: int,
+                       s: int, white_bkgd: bool, interleave: int,
+                       fuse_ipe: bool = False):
+    # xs_in: the [F, N] transposed feature tensor, or (mT, vT) [3, N]
+    # pairs when the IPE runs in-kernel.
+    n = (xs_in[0] if fuse_ipe else xs_in).shape[1]
     num_rays = n // s
     dims, w_specs, b_specs = _weight_specs(cfg)
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
-    pad = (-n) % tile
-    xp = (
-        jnp.concatenate(
-            [x_t, jnp.zeros((feat, pad), x_t.dtype)], axis=1
-        ) if pad else x_t
-    )
+    if fuse_ipe:
+        params = _permute_ipe_weights(params, cfg)
+        xp = [_pad_cols(a, tile) for a in xs_in]
+        x_specs = [
+            pl.BlockSpec((3, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+            for _ in range(2)
+        ]
+    else:
+        xp = [_pad_cols(xs_in, tile)]
+        x_specs = [
+            pl.BlockSpec((xs_in.shape[0], tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+        ]
     rays_tile = tile // s
     dp = _pad_rows(d, rays_tile)
     deltap = _pad_rows(delta, rays_tile)
-    n_pad = xp.shape[1]
+    n_pad = xp[0].shape[1]
     r_pad = n_pad // s
     grid = (n_pad // tile,)
 
@@ -299,8 +432,7 @@ def _fused_render_impl(params, x_t, d, delta, *, cfg: Config, tile: int,
                             memory_space=pltpu.VMEM)
 
     in_specs = [
-        pl.BlockSpec((feat, tile), lambda i: (0, i),
-                     memory_space=pltpu.VMEM),
+        *x_specs,
         ray_spec(d.shape[1]),
         ray_spec(s),
         *w_specs,
@@ -315,22 +447,22 @@ def _fused_render_impl(params, x_t, d, delta, *, cfg: Config, tile: int,
     flops_rows = 2 * sum(i * o for i, o in dims)
     comp, acc_out, weights = pl.pallas_call(
         functools.partial(_render_kernel, cfg, dt, s, white_bkgd,
-                          interleave),
+                          interleave, fuse_ipe),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=flops_rows * n_pad,
-            bytes_accessed=n_pad * (feat + 8) * 2,
-            transcendentals=n_pad * 4,
+            bytes_accessed=n_pad * (cfg.location_features + 8) * 2,
+            transcendentals=n_pad * (100 if fuse_ipe else 4),
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=_interpret(),
     )(
-        xp, dp, deltap,
+        *xp, dp, deltap,
         *[w.astype(dt) for w, _ in params],
         *[b.reshape(1, -1) for _, b in params],
     )
@@ -339,10 +471,10 @@ def _fused_render_impl(params, x_t, d, delta, *, cfg: Config, tile: int,
     )
 
 
-def fused_level_render(params: Params, cfg: Config, x_enc: jnp.ndarray,
+def fused_level_render(params: Params, cfg: Config, x_enc,
                        dir_enc: jnp.ndarray, t_vals: jnp.ndarray,
                        dirs: jnp.ndarray, white_bkgd: bool,
-                       tile: int | None = None):
+                       tile: int | None = None, means_covs=None):
     """One level's full RENDER pass (MLP + activations + compositing) as a
     single kernel — the eval/serving counterpart of ``fused_level_train``.
 
@@ -350,10 +482,11 @@ def fused_level_render(params: Params, cfg: Config, x_enc: jnp.ndarray,
     ``volumetric_rendering`` kernel, accelerated_functions.cu:318-344) into
     one launch. Returns (comp_rgb [R,3], acc [R], weights [R,S]); no
     gradients, so it is valid for any config (no stop_level_grad proviso).
+    With ``means_covs`` the IPE runs inside the kernel too (fuse_ipe).
     """
-    num_rays, s, feat = x_enc.shape
+    num_rays, s = t_vals.shape[0], t_vals.shape[1] - 1
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    x2d = x_enc.reshape(num_rays * s, feat).T.astype(dt)
+    x2d, fuse_ipe, _ = _x_inputs(cfg, dt, x_enc, means_covs)
     d2d = dir_enc.reshape(num_rays, dir_enc.shape[-1]).astype(dt)
     d_norm = jnp.linalg.norm(dirs, axis=-1, keepdims=True)
     delta = ((t_vals[..., 1:] - t_vals[..., :-1]) * d_norm).astype(
@@ -374,29 +507,40 @@ def fused_level_render(params: Params, cfg: Config, x_enc: jnp.ndarray,
     )
     return _fused_render_impl(
         params, x2d, d2d, delta, cfg=cfg, tile=tile, s=s,
-        white_bkgd=white_bkgd, interleave=interleave,
+        white_bkgd=white_bkgd, interleave=interleave, fuse_ipe=fuse_ipe,
     )
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "tile", "s", "white_bkgd", "interleave"),
+    static_argnames=("cfg", "tile", "s", "white_bkgd", "interleave",
+                     "fuse_ipe"),
 )
-def _fused_level_impl(params, x_t, d, delta, pixels, g_scale, *,
+def _fused_level_impl(params, xs_in, d, delta, pixels, g_scale, *,
                       cfg: Config, tile: int, s: int, white_bkgd: bool,
-                      interleave: int):
-    # x_t: the [F, N] TRANSPOSED feature tensor (see _level_kernel).
-    feat, n = x_t.shape
+                      interleave: int, fuse_ipe: bool = False):
+    # xs_in: the [F, N] TRANSPOSED feature tensor, or (mT, vT) [3, N]
+    # sample mean/variance pairs when the IPE runs in-kernel.
+    n = (xs_in[0] if fuse_ipe else xs_in).shape[1]
     num_rays = n // s
     dims, w_specs, b_specs = _weight_specs(cfg)
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
-    pad = (-n) % tile
-    xp = (
-        jnp.concatenate(
-            [x_t, jnp.zeros((feat, pad), x_t.dtype)], axis=1
-        ) if pad else x_t
-    )
+    if fuse_ipe:
+        params_in = _permute_ipe_weights(params, cfg)
+        xp = [_pad_cols(a, tile) for a in xs_in]
+        x_specs = [
+            pl.BlockSpec((3, tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+            for _ in range(2)
+        ]
+    else:
+        params_in = params
+        xp = [_pad_cols(xs_in, tile)]
+        x_specs = [
+            pl.BlockSpec((xs_in.shape[0], tile), lambda i: (0, i),
+                         memory_space=pltpu.VMEM)
+        ]
     rays_tile = tile // s
     dp = _pad_rows(d, rays_tile)
     deltap = _pad_rows(delta, rays_tile)
@@ -404,7 +548,7 @@ def _fused_level_impl(params, x_t, d, delta, pixels, g_scale, *,
     # Zero g_scale on padded rays: their loss gradient vanishes identically,
     # so padding contributes nothing to dW/db.
     gscp = _pad_rows(g_scale, rays_tile)
-    n_pad = xp.shape[1]
+    n_pad = xp[0].shape[1]
     r_pad = n_pad // s
     grid = (n_pad // tile,)
 
@@ -413,8 +557,7 @@ def _fused_level_impl(params, x_t, d, delta, pixels, g_scale, *,
                             memory_space=pltpu.VMEM)
 
     in_specs = [
-        pl.BlockSpec((feat, tile), lambda i: (0, i),
-                     memory_space=pltpu.VMEM),
+        *x_specs,
         ray_spec(d.shape[1]),
         ray_spec(s),
         ray_spec(3),
@@ -434,47 +577,73 @@ def _fused_level_impl(params, x_t, d, delta, pixels, g_scale, *,
     )
     flops_rows = 3 * 2 * sum(i * o for i, o in dims)
     outs = pl.pallas_call(
-        functools.partial(_level_kernel, cfg, dt, s, white_bkgd, interleave),
+        functools.partial(_level_kernel, cfg, dt, s, white_bkgd, interleave,
+                          fuse_ipe),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=flops_rows * n_pad,
-            bytes_accessed=n_pad * (feat + 16) * 4,
-            transcendentals=n_pad * 8,
+            bytes_accessed=n_pad * (cfg.location_features + 16) * 4,
+            transcendentals=n_pad * (300 if fuse_ipe else 8),
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=_interpret(),
     )(
-        xp, dp, deltap, pixp, gscp,
-        *[w.astype(dt) for w, _ in params],
-        *[b.reshape(1, -1) for _, b in params],
+        *xp, dp, deltap, pixp, gscp,
+        *[w.astype(dt) for w, _ in params_in],
+        *[b.reshape(1, -1) for _, b in params_in],
     )
     n_layers = len(dims)
     dws = outs[:n_layers]
     dbs = [b[0] for b in outs[n_layers : 2 * n_layers]]
     d_params = [(dw, db) for dw, db in zip(dws, dbs)]
+    if fuse_ipe:
+        d_params = _unpermute_ipe_dw(d_params, cfg)
     comp = outs[2 * n_layers][:num_rays]
     acc_out = outs[2 * n_layers + 1][:num_rays, 0]
     weights = outs[2 * n_layers + 2][:num_rays]
     return comp, acc_out, weights, d_params
 
 
-def fused_level_train(params: Params, cfg: Config, x_enc: jnp.ndarray,
+def _x_inputs(cfg: Config, dt, x_enc, means_covs):
+    """The kernel's encoded-position inputs + the fuse_ipe mode flag.
+
+    With ``means_covs`` the IPE runs INSIDE the kernel: pass the sample
+    mean/variance transposed ([3, N], N minor — free under XLA's layouts);
+    otherwise pass the precomputed [R, S, F] features transposed (XLA's
+    encode fusion is feature-major, so this transpose also fuses away).
+    """
+    if means_covs is not None:
+        means, covs = means_covs
+        n = means.shape[0] * means.shape[1]
+        mT = means.reshape(n, 3).T.astype(jnp.float32)
+        vT = covs.reshape(n, 3).T.astype(jnp.float32)
+        return (mT, vT), True, n
+    num_rays, s, feat = x_enc.shape
+    return x_enc.reshape(num_rays * s, feat).T.astype(dt), False, (
+        num_rays * s
+    )
+
+
+def fused_level_train(params: Params, cfg: Config, x_enc,
                       dir_enc: jnp.ndarray, t_vals: jnp.ndarray,
                       dirs: jnp.ndarray, pixels: jnp.ndarray,
                       g_scale: jnp.ndarray, white_bkgd: bool,
-                      tile: int | None = None):
+                      tile: int | None = None, means_covs=None):
     """One level's full train pass (fwd + loss grad + bwd) in one kernel.
 
     Args:
-      x_enc: [R, S, F] IPE features; dir_enc: [R, Fd]; t_vals: [R, S+1];
+      x_enc: [R, S, F] IPE features (or None with ``means_covs``);
+      dir_enc: [R, Fd]; t_vals: [R, S+1];
       dirs: [R, 3] unnormalized directions (their norm scales delta);
       pixels: [R, 3]; g_scale: [R, 1] per-ray dL/dcomp scale
-      (= level_weight * 2 * mask / sum(mask)).
+      (= level_weight * 2 * mask / sum(mask));
+      means_covs: optional ([R, S, 3] mean, [R, S, 3] diag cov) — the IPE
+      then runs inside the kernel (cfg.fuse_ipe path).
     Returns:
       comp_rgb [R, 3], acc [R], weights [R, S], d_params (list of (dW, db)).
 
@@ -482,12 +651,9 @@ def fused_level_train(params: Params, cfg: Config, x_enc: jnp.ndarray,
     parameters' use — i.e. training with stop_level_grad (the sampled
     Gaussians are constants w.r.t. params).
     """
-    num_rays, s, feat = x_enc.shape
+    num_rays, s = t_vals.shape[0], t_vals.shape[1] - 1
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    # Transposed features: XLA's IPE fusion computes feature-major (N minor)
-    # anyway, so transpose(reshape(...)) fuses into it with NO copy, where
-    # the row-major form needed two full-tensor layout copies.
-    x2d = x_enc.reshape(num_rays * s, feat).T.astype(dt)
+    xs_in, fuse_ipe, _ = _x_inputs(cfg, dt, x_enc, means_covs)
     d2d = dir_enc.reshape(num_rays, dir_enc.shape[-1]).astype(dt)
     d_norm = jnp.linalg.norm(dirs, axis=-1, keepdims=True)
     delta = ((t_vals[..., 1:] - t_vals[..., :-1]) * d_norm).astype(
@@ -507,7 +673,7 @@ def fused_level_train(params: Params, cfg: Config, x_enc: jnp.ndarray,
         _IL_OVERRIDE or DEFAULT_INTERLEAVE_BWD, tile
     )
     return _fused_level_impl(
-        params, x2d, d2d, delta, pixels.astype(jnp.float32),
+        params, xs_in, d2d, delta, pixels.astype(jnp.float32),
         g_scale.astype(jnp.float32), cfg=cfg, tile=tile, s=s,
-        white_bkgd=white_bkgd, interleave=interleave,
+        white_bkgd=white_bkgd, interleave=interleave, fuse_ipe=fuse_ipe,
     )

@@ -127,25 +127,34 @@ def _forward_chunks(cfg: Config, dt, s: int, xs, ds, ws, bs, x_t=False):
     (N minor); accepting that layout directly removes two full-tensor
     layout copies per level (~0.18 ms/step measured) — the MXU contracts
     either operand orientation at the same cost (dot_general dims).
+
+    A chunk may also be a PAIR of transposed halves (sin-features,
+    cos-features) computed in-kernel by the fused IPE
+    (fused_level._encode_chunk); the corresponding weight rows must then be
+    permuted sin-rows-first (fused_level._ipe_perm) and x @ W becomes a
+    two-part split matmul — the interleaved feature tensor never exists.
     """
-    import os as _os  # TEMP probe switch (epilogue cost attribution)
-    _probe = _os.environ.get("FM_PROBE", "")
     D, Dc = cfg.net_depth, cfg.net_depth_condition
     skip = cfg.skip_layer
     nw = cfg.net_width
     C = len(xs)
 
-    xs = [x.astype(dt) for x in xs]
+    def cast_x(x):
+        if isinstance(x, tuple):
+            return tuple(p.astype(dt) for p in x)
+        return x.astype(dt)
+
+    xs = [cast_x(x) for x in xs]
     ds = [d.astype(dt) for d in ds]
-    mm_x = _mm_tn if x_t else _mm  # x @ W with x possibly stored as x^T
+
+    def mm_x(xc, w, _dt):
+        if isinstance(xc, tuple):
+            f2 = xc[0].shape[0]
+            return (_mm_tn(xc[0], w[:f2, :], _dt)
+                    + _mm_tn(xc[1], w[f2:, :], _dt))
+        return (_mm_tn if x_t else _mm)(xc, w, _dt)
 
     def epilogue(z, b):
-        if _probe == "nobias":
-            return jnp.maximum(z, 0.0).astype(dt)
-        if _probe == "nomax":
-            return (z + b).astype(dt)
-        if _probe == "nocast":
-            return jnp.maximum(z + b, 0.0)
         return jnp.maximum(z + b, 0.0).astype(dt)
 
     hs: List[List[Any]] = [[] for _ in range(C)]
@@ -173,7 +182,8 @@ def _forward_chunks(cfg: Config, dt, s: int, xs, ds, ws, bs, x_t=False):
         for c in range(C):
             if j == 0:
                 dc = _mm(ds[c], w[nw:, :], dt)  # [chunk/s, nwc], per ray
-                chunk = xs[c].shape[1] if x_t else xs[c].shape[0]
+                xc = xs[c][0] if isinstance(xs[c], tuple) else xs[c]
+                chunk = xc.shape[1] if x_t else xc.shape[0]
                 if s > 1:
                     dc = jnp.broadcast_to(
                         dc[:, None, :], (chunk // s, s, dc.shape[-1])
@@ -194,12 +204,6 @@ def _split_rows(a, n: int):
         return [a]
     chunk = a.shape[0] // n
     return [a[i * chunk : (i + 1) * chunk] for i in range(n)]
-
-
-def _forward_tile(cfg: Config, dt, s: int, x, d, ws, bs):
-    """Single-chunk fwd on one row tile (the bwd recompute path)."""
-    rgb, den, hs, vs = _forward_chunks(cfg, dt, s, [x], [d], ws, bs)
-    return rgb[0], den[0], hs[0], vs[0]
 
 
 def _fwd_kernel(cfg: Config, dt, s: int, interleave: int, *refs):
@@ -269,7 +273,11 @@ def _backward_chunks(cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens, acc,
     R = range(C)
     assert not (x_t and want_dx), "transposed-x mode elides dX"
 
-    xs = [x.astype(dt) for x in xs]
+    xs = [
+        tuple(p.astype(dt) for p in x) if isinstance(x, tuple)
+        else x.astype(dt)
+        for x in xs
+    ]
     if acts is None:
         _, _, hs, vs = _forward_chunks(cfg, dt, s, xs, ds, ws, bs, x_t=x_t)
     else:
@@ -286,6 +294,14 @@ def _backward_chunks(cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens, acc,
 
     def dw_x(gs):
         # x^T @ g with x stored transposed: a plain [F, rows] @ [rows, out]
+        if isinstance(xs[0], tuple):
+            # in-kernel IPE pair: dW rows come out sin-first (permuted
+            # order); the wrapper inverse-permutes outside the kernel.
+            return jnp.concatenate(
+                [sum(_mm(xs[c][0], gs[c], dt) for c in R),
+                 sum(_mm(xs[c][1], gs[c], dt) for c in R)],
+                axis=0,
+            )
         if x_t:
             return sum(_mm(xs[c], gs[c], dt) for c in R)
         return sum(_mm_tn(xs[c], gs[c], dt) for c in R)
@@ -366,16 +382,6 @@ def _backward_chunks(cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens, acc,
     if want_dx:
         g_x = [g_x[c] + g[c] for c in R]  # layer 0's input IS x
     return g_x, g_d
-
-
-def _backward_tile(cfg, dt, s, x, d, ws, bs, g_rgb, g_den, acc,
-                   dw_refs, db_refs, want_dx=True, want_dd=True):
-    """Single-chunk reverse pass on one row tile (fused-IPE kernel entry)."""
-    g_x, g_d = _backward_chunks(
-        cfg, dt, s, [x], [d], ws, bs, [g_rgb], [g_den], acc,
-        dw_refs, db_refs, want_dx=want_dx, want_dd=want_dd,
-    )
-    return g_x[0], g_d[0]
 
 
 def _bwd_kernel(cfg: Config, dt, s: int, input_grads: bool, interleave: int,

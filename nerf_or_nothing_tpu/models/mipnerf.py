@@ -62,28 +62,18 @@ def render_rays(
         eval counterpart of the fused training kernel.
     """
     dt = _compute_dtype(cfg)
-    fused_encode = None
     fused_kernel = False
     fused_render = None
     if mlp_apply is None and inference and cfg.use_pallas and cfg.fuse_level:
-        if (not cfg.fuse_ipe and cfg.num_rgb_channels == 3
-                and cfg.num_density_channels == 1):
+        if (cfg.num_rgb_channels == 3 and cfg.num_density_channels == 1
+                and (not cfg.fuse_ipe or cfg.diag_covariance)):
             from nerf_or_nothing_tpu.kernels.fused_level import (
                 fused_level_render,
             )
 
             fused_render = fused_level_render
     if mlp_apply is None:
-        if cfg.use_pallas and cfg.fuse_ipe and cfg.diag_covariance:
-            # Fully fused path: IPE computed inside the kernel — the
-            # [rays*samples, 96] feature tensor never exists in HBM.
-            # (Off by default: measured slower on v5e, see Config.fuse_ipe.)
-            from nerf_or_nothing_tpu.kernels.fused_ipe_mlp import (
-                fused_ipe_mlp_apply,
-            )
-
-            fused_encode = fused_ipe_mlp_apply
-        elif cfg.use_pallas:
+        if cfg.use_pallas:
             from nerf_or_nothing_tpu.kernels.fused_mlp import fused_mlp_apply
 
             mlp_apply = fused_mlp_apply
@@ -130,13 +120,17 @@ def render_rays(
             )
 
         if fused_render is not None:
-            x_enc = ipe.integrated_pos_enc(
-                (means, covs), cfg.min_deg_point, cfg.max_deg_point,
-                diag=cfg.diag_covariance, dtype=dt,
-            )
+            if cfg.fuse_ipe and cfg.diag_covariance:
+                x_enc, means_covs = None, (means, covs)
+            else:
+                x_enc = ipe.integrated_pos_enc(
+                    (means, covs), cfg.min_deg_point, cfg.max_deg_point,
+                    diag=cfg.diag_covariance, dtype=dt,
+                )
+                means_covs = None
             comp_rgb, acc, weights = fused_render(
                 params, cfg, x_enc, dir_enc, t_vals, rays.directions,
-                white_bkgd,
+                white_bkgd, means_covs=means_covs,
             )
             mids = 0.5 * (t_vals[..., :-1] + t_vals[..., 1:])
             distance = jnp.clip(
@@ -148,37 +142,32 @@ def render_rays(
                 render.RenderResult(comp_rgb, distance, acc, weights)
             )
             continue
-        if fused_encode is not None:
-            raw_rgb, raw_density = fused_encode(
-                params, cfg, means, covs, dir_enc
+        x_enc = ipe.integrated_pos_enc(
+            (means, covs), cfg.min_deg_point, cfg.max_deg_point,
+            diag=cfg.diag_covariance,
+            # Pallas path: cast inside the encode fusion (the kernel
+            # wrapper would cast anyway; this keeps the HBM copy bf16).
+            dtype=dt if fused_kernel else None,
+        )
+        kwargs = {}
+        if fused_kernel:
+            # dX/dD cotangents can only reach params through the
+            # resampling chain of a later level; statically elide them
+            # whenever that path cannot exist (level 0's sampling is
+            # ray-constant; stop_level_grad cuts it for level > 0).
+            kwargs["input_grads"] = (
+                i_level > 0 and not cfg.stop_level_grad
             )
+        if cfg.remat:
+            apply_fn = jax.checkpoint(
+                lambda p, x, d: mlp_apply(p, cfg, x, d, **kwargs),
+                static_argnums=(),
+            )
+            raw_rgb, raw_density = apply_fn(params, x_enc, dir_enc)
         else:
-            x_enc = ipe.integrated_pos_enc(
-                (means, covs), cfg.min_deg_point, cfg.max_deg_point,
-                diag=cfg.diag_covariance,
-                # Pallas path: cast inside the encode fusion (the kernel
-                # wrapper would cast anyway; this keeps the HBM copy bf16).
-                dtype=dt if fused_kernel else None,
+            raw_rgb, raw_density = mlp_apply(
+                params, cfg, x_enc, dir_enc, **kwargs
             )
-            kwargs = {}
-            if fused_kernel:
-                # dX/dD cotangents can only reach params through the
-                # resampling chain of a later level; statically elide them
-                # whenever that path cannot exist (level 0's sampling is
-                # ray-constant; stop_level_grad cuts it for level > 0).
-                kwargs["input_grads"] = (
-                    i_level > 0 and not cfg.stop_level_grad
-                )
-            if cfg.remat:
-                apply_fn = jax.checkpoint(
-                    lambda p, x, d: mlp_apply(p, cfg, x, d, **kwargs),
-                    static_argnums=(),
-                )
-                raw_rgb, raw_density = apply_fn(params, x_enc, dir_enc)
-            else:
-                raw_rgb, raw_density = mlp_apply(
-                    params, cfg, x_enc, dir_enc, **kwargs
-                )
 
         rgb = jax.nn.sigmoid(raw_rgb)
         rgb = rgb * (1.0 + 2.0 * cfg.rgb_padding) - cfg.rgb_padding

@@ -157,20 +157,27 @@ def _fused_level_value_and_grad(cfg: Config, params, key, rays: Rays,
                 cfg.resample_padding, stop_grad=True,
                 diag=cfg.diag_covariance,
             )
-        x_enc = ipe_lib.integrated_pos_enc(
-            (means, covs), cfg.min_deg_point, cfg.max_deg_point,
-            diag=cfg.diag_covariance,
-            # bf16 inside the encode fusion: halves the [R*S, 96] HBM write
-            # and feeds the kernel its compute dtype directly.
-            dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None,
-        )
+        if cfg.fuse_ipe and cfg.diag_covariance:
+            # IPE runs inside the level kernel (kernels/fused_level.py
+            # _encode_chunk): the [R*S, 96] feature tensor never exists.
+            x_enc, means_covs = None, (means, covs)
+        else:
+            x_enc = ipe_lib.integrated_pos_enc(
+                (means, covs), cfg.min_deg_point, cfg.max_deg_point,
+                diag=cfg.diag_covariance,
+                # bf16 inside the encode fusion: halves the [R*S, 96] HBM
+                # write and feeds the kernel its compute dtype directly.
+                dtype=(jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                       else None),
+            )
+            means_covs = None
         level_weight = (
             1.0 if i_level == cfg.num_levels - 1 else cfg.coarse_loss_mult
         )
         g_scale = (level_weight * 2.0 * mask / denom)[..., None]
         comp, _, weights, d_params = fused_level_train(
             params, cfg, x_enc, dir_enc, t_vals, rays.directions,
-            pixels, g_scale, cfg.white_bkgd,
+            pixels, g_scale, cfg.white_bkgd, means_covs=means_covs,
         )
         losses.append(
             jnp.sum(mask * jnp.sum((comp - pixels) ** 2, axis=-1)) / denom
@@ -201,7 +208,9 @@ def use_fused_level(cfg: Config) -> bool:
         cfg.use_pallas
         and cfg.fuse_level
         and cfg.stop_level_grad
-        and not cfg.fuse_ipe
+        # fuse_ipe moves the IPE inside this kernel; it assumes the
+        # diagonal-covariance closed form
+        and (not cfg.fuse_ipe or cfg.diag_covariance)
         # the in-kernel composite/loss assumes the standard head widths
         and cfg.num_rgb_channels == 3
         and cfg.num_density_channels == 1

@@ -230,3 +230,102 @@ def test_inference_render_path_matches_training_forward():
     np.testing.assert_allclose(rgb_f, rgb_o, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(dist_f, dist_o, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(acc_f, acc_o, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_level_in_kernel_ipe_matches_autodiff():
+    """fuse_ipe mode: the kernel takes (means, covs) and runs the IPE
+    internally — gradients must match jax.grad of the oracle that encodes
+    with ops.ipe.integrated_pos_enc (same math, interleaved layout)."""
+    from nerf_or_nothing_tpu.ops import ipe as ipe_lib
+
+    cfg = small_cfg()
+    R, S = 6, cfg.num_samples
+    ks = jax.random.split(jax.random.PRNGKey(11), 6)
+    params = mlp_lib.init_mlp(ks[0], cfg)
+    means = jax.random.normal(ks[1], (R, S, 3)) * 0.5
+    covs = jax.random.uniform(ks[2], (R, S, 3)) * 0.1
+    dir_enc = jax.random.normal(ks[3], (R, cfg.direction_features)) * 0.5
+    t_vals = jnp.sort(
+        jax.random.uniform(ks[4], (R, S + 1), minval=2.0, maxval=6.0),
+        axis=-1,
+    )
+    dirs = jax.random.normal(ks[5], (R, 3))
+    pixels = jax.random.uniform(ks[0], (R, 3))
+    mask = jnp.ones((R,))
+    g_scale = (2.0 * mask / R)[..., None]
+
+    comp, acc, weights, d_params = fused_level_train(
+        params, cfg, None, dir_enc, t_vals, dirs, pixels, g_scale,
+        True, tile=16, means_covs=(means, covs),
+    )
+
+    def oracle(p):
+        x_enc = ipe_lib.integrated_pos_enc(
+            (means, covs), cfg.min_deg_point, cfg.max_deg_point
+        )
+        return oracle_level(p, cfg, x_enc, dir_enc, t_vals, dirs, pixels,
+                            mask, 1.0, True)
+
+    grads_ref, (comp_ref, acc_ref, w_ref) = jax.grad(
+        oracle, has_aux=True
+    )(params)
+    np.testing.assert_allclose(comp, comp_ref, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(acc, acc_ref, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(weights, w_ref, rtol=1e-4, atol=1e-5)
+    for i, ((dw, db), (dw_r, db_r)) in enumerate(zip(d_params, grads_ref)):
+        np.testing.assert_allclose(
+            dw, dw_r, rtol=2e-4, atol=1e-6, err_msg=f"dW layer {i}"
+        )
+        np.testing.assert_allclose(
+            db, db_r, rtol=2e-4, atol=1e-6, err_msg=f"db layer {i}"
+        )
+
+
+def test_fuse_ipe_train_step_matches_unfused():
+    """Full train step with fuse_ipe=True == the plain XLA step (f32)."""
+    base = tiny_config(
+        batch_size=16, num_samples=8, num_levels=2, net_depth=3,
+        net_width=32, net_width_condition=16, skip_layer=2, max_deg_point=4,
+        randomized=False, donate_params=False, compute_dtype="float32",
+        use_pallas=True, fuse_ipe=True,
+    )
+    rays, pixels = make_rays(base.batch_size)
+    results = {}
+    for name, cfg in (("fuse_ipe", base),
+                      ("xla", base.replace(use_pallas=False, fuse_ipe=False))):
+        state = init_train_state(cfg)
+        step = make_jitted_train_step(cfg)
+        for _ in range(2):
+            state, stats = step(state, rays, pixels)
+        results[name] = (state, stats)
+    s_f, st_f = results["fuse_ipe"]
+    s_o, st_o = results["xla"]
+    np.testing.assert_allclose(float(st_f.loss), float(st_o.loss), rtol=1e-5)
+    for (w1, b1), (w2, b2) in zip(s_f.params, s_o.params):
+        np.testing.assert_allclose(
+            np.asarray(w1), np.asarray(w2), rtol=1e-4, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(b1), np.asarray(b2), rtol=1e-4, atol=1e-6
+        )
+
+
+def test_fuse_ipe_render_matches_oracle():
+    """fused_level_render with in-kernel IPE == unfused render."""
+    from nerf_or_nothing_tpu.eval import make_render_fn
+
+    cfg = tiny_config(
+        batch_size=16, num_samples=8, num_levels=2, net_depth=3,
+        net_width=32, net_width_condition=16, skip_layer=2, max_deg_point=4,
+        randomized=False, donate_params=False, compute_dtype="float32",
+        use_pallas=True, fuse_ipe=True,
+    )
+    rays, _ = make_rays(cfg.batch_size, seed=2)
+    params = init_train_state(cfg).params
+    key = jax.random.PRNGKey(0)
+    rgb_f, dist_f, acc_f = make_render_fn(cfg)(params, key, rays)
+    rgb_o, dist_o, acc_o = make_render_fn(
+        cfg.replace(use_pallas=False, fuse_ipe=False)
+    )(params, key, rays)
+    np.testing.assert_allclose(rgb_f, rgb_o, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(acc_f, acc_o, rtol=1e-4, atol=1e-5)
