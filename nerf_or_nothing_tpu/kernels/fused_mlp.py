@@ -283,16 +283,51 @@ def _backward_chunks(cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens, acc,
     else:
         hs, vs = acts
 
+    # Perf-attribution hook (docs/PERF.md kernel-internal decomposition):
+    # FM_BWD=nodw replaces the dW/db matmul family with shape-matched
+    # fillers; FM_BWD=nogchain breaks the g-chain instead. Inert unless set.
+    import os as _os
+    _probe = _os.environ.get("FM_BWD", "")
+
     def db(gs):
         # bias grads reduce over up to thousands of rows: accumulate f32
         return sum(
             jnp.sum(g, axis=0, keepdims=True, dtype=jnp.float32) for g in gs
         )
 
+    def _dummy(shape, gs):
+        # data-dependent filler (defeats constant folding), no MXU work;
+        # single-axis (sublane) broadcast — Mosaic has no 2-axis broadcast
+        row = gs[0][:1, :].astype(jnp.float32)  # [1, out]
+        return jnp.broadcast_to(row, shape)
+
     def dw(h_ins, gs):
+        if _probe == "nodw":
+            return _dummy((h_ins[0].shape[1], gs[0].shape[1]), gs)
+        if _probe == "accper":
+            # per-chunk products, accumulated one-by-one by acc_dw
+            return [_mm_tn(h_ins[c], gs[c], dt) for c in R]
         return sum(_mm_tn(h_ins[c], gs[c], dt) for c in R)
 
+    def _s(v):
+        return sum(v) if isinstance(v, list) else v
+
+    def acc_dw(ref, val):
+        # FM_BWD=accper: feed each chunk's dW product to the accumulator as
+        # it retires instead of joining all chunks on the VPU first.
+        if isinstance(val, list):
+            acc(ref, val[0])
+            for v in val[1:]:
+                ref[...] = ref[...] + v
+        else:
+            acc(ref, val)
+
     def dw_x(gs):
+        if _probe == "nodw":
+            x0 = xs[0]
+            k = (2 * x0[0].shape[0] if isinstance(x0, tuple)
+                 else (x0.shape[0] if x_t else x0.shape[1]))
+            return _dummy((k, gs[0].shape[1]), gs)
         # x^T @ g with x stored transposed: a plain [F, rows] @ [rows, out]
         if isinstance(xs[0], tuple):
             # in-kernel IPE pair: dW rows come out sin-first (permuted
@@ -306,13 +341,24 @@ def _backward_chunks(cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens, acc,
             return sum(_mm(xs[c], gs[c], dt) for c in R)
         return sum(_mm_tn(xs[c], gs[c], dt) for c in R)
 
+    def chain(real, fallback):
+        # FM_BWD=nogchain: replace every g-chain matmul with the (shape-
+        # matched, data-dependent) forward activation, breaking the layer-
+        # to-layer dependency while keeping dW/db/mask work intact.
+        if _probe == "nogchain":
+            return [fallback[c] for c in R]
+        return real()
+
     # ---- rgb head ----
     i_rgb = D + 1 + Dc
-    acc(dw_refs[i_rgb], dw([vs[c][-1] for c in R], g_rgbs))
+    acc_dw(dw_refs[i_rgb], dw([vs[c][-1] for c in R], g_rgbs))
     acc(db_refs[i_rgb], db(g_rgbs))
     # the g chain itself runs in the compute dtype (its operands are cast
     # to dt before every MXU op anyway); dW/db accumulate in f32
-    g = [_mm_nt(g_rgbs[c], ws[i_rgb], dt).astype(dt) for c in R]
+    g = chain(
+        lambda: [_mm_nt(g_rgbs[c], ws[i_rgb], dt).astype(dt) for c in R],
+        [vs[c][-1] for c in R],
+    )
 
     # ---- view branch reversed ----
     g_d = [None] * C
@@ -338,7 +384,9 @@ def _backward_chunks(cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens, acc,
             acc(
                 dw_refs[i],
                 jnp.concatenate(
-                    [dw(h_in, g),
+                    [_s(dw(h_in, g)),
+                     _dummy((ds[0].shape[1], g_ray[0].shape[1]), g_ray)
+                     if _probe == "nodw" else
                      sum(_mm_tn(ds[c], g_ray[c], dt) for c in R)],
                     axis=0,
                 ),
@@ -346,16 +394,26 @@ def _backward_chunks(cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens, acc,
             acc(db_refs[i], db(g))
             if want_dd:
                 g_d = [_mm_nt(g_ray[c], ws[i][nw:, :], dt) for c in R]
-            g = [_mm_nt(g[c], ws[i][:nw, :], dt).astype(dt) for c in R]
+            g = chain(
+                lambda: [_mm_nt(g[c], ws[i][:nw, :], dt).astype(dt)
+                         for c in R],
+                [hs[c][-1] for c in R],
+            )
         else:
-            acc(dw_refs[i], dw(h_in, g))
+            acc_dw(dw_refs[i], dw(h_in, g))
             acc(db_refs[i], db(g))
-            g = [_mm_nt(g[c], ws[i], dt).astype(dt) for c in R]
+            g = chain(
+                lambda: [_mm_nt(g[c], ws[i], dt).astype(dt) for c in R],
+                [vs[c][j - 1] for c in R],
+            )
 
     # ---- density head joins the trunk gradient (MLP.cs:148-153) ----
-    acc(dw_refs[D], dw([hs[c][-1] for c in R], g_dens))
+    acc_dw(dw_refs[D], dw([hs[c][-1] for c in R], g_dens))
     acc(db_refs[D], db(g_dens))
-    g = [g[c] + _mm_nt(g_dens[c], ws[D], dt).astype(dt) for c in R]
+    g = chain(
+        lambda: [g[c] + _mm_nt(g_dens[c], ws[D], dt).astype(dt) for c in R],
+        [hs[c][-1] for c in R],
+    )
 
     # ---- trunk reversed ----
     g_x = [jnp.zeros_like(xs[c]) for c in R] if want_dx else [None] * C
@@ -365,7 +423,7 @@ def _backward_chunks(cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens, acc,
         if i % skip == 0 and i > 0:
             acc(
                 dw_refs[i],
-                jnp.concatenate([dw(h_in, g), dw_x(g)], axis=0),
+                jnp.concatenate([_s(dw(h_in, g)), _s(dw_x(g))], axis=0),
             )
             acc(db_refs[i], db(g))
             if want_dx:
@@ -373,12 +431,19 @@ def _backward_chunks(cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens, acc,
                     g_x[c] + _mm_nt(g[c], ws[i][nw:, :], dt).astype(dt)
                     for c in R
                 ]
-            g = [_mm_nt(g[c], ws[i][:nw, :], dt).astype(dt) for c in R]
+            g = chain(
+                lambda: [_mm_nt(g[c], ws[i][:nw, :], dt).astype(dt)
+                         for c in R],
+                [hs[c][i - 1] for c in R],
+            )
         else:
-            acc(dw_refs[i], dw(h_in, g) if i > 0 else dw_x(g))
+            acc_dw(dw_refs[i], dw(h_in, g) if i > 0 else dw_x(g))
             acc(db_refs[i], db(g))
             if i > 0 or want_dx:
-                g = [_mm_nt(g[c], ws[i], dt).astype(dt) for c in R]
+                g = chain(
+                    lambda: [_mm_nt(g[c], ws[i], dt).astype(dt) for c in R],
+                    [hs[c][max(i - 1, 0)] for c in R],
+                )
     if want_dx:
         g_x = [g_x[c] + g[c] for c in R]  # layer 0's input IS x
     return g_x, g_d

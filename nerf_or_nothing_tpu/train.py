@@ -324,3 +324,29 @@ def make_jitted_train_step(cfg: Config, mlp_apply=None):
 
         return checked_step
     return jax.jit(step_fn, donate_argnums=(0,) if cfg.donate_params else ())
+
+
+def make_jitted_multi_step(cfg: Config, mlp_apply=None):
+    """K train steps per dispatch: ``lax.scan`` over pre-staged batches.
+
+    TPU-native host-dispatch amortization: the host enqueues ONE program
+    that consumes a [K, batch, ...] stack of ray batches and chains the
+    donated TrainState in-graph; per-step stats come back stacked [K] for
+    logging. Cuts per-step host dispatch (~50 us on a pod VM, ~1 ms through
+    tunneled PJRT) to 1/K. K is a call-time shape, not a trace constant —
+    recompiles only per distinct K. The reference has no analogue: its host
+    loop synchronizes after every kernel (AcceleratedMipNeRF.cpp:97-141).
+    """
+    step_fn = make_train_step(cfg, mlp_apply=mlp_apply)
+
+    def multi_step(state: TrainState, rays_stack: Rays, pixels_stack):
+        def body(s, batch):
+            r, p = batch
+            s, stats = step_fn(s, r, p)
+            return s, stats
+
+        return jax.lax.scan(body, state, (rays_stack, pixels_stack))
+
+    return jax.jit(
+        multi_step, donate_argnums=(0,) if cfg.donate_params else ()
+    )

@@ -324,3 +324,48 @@ def test_check_numerics_traps_nan():
     pixels_ok = jnp.full((n, 3), 0.5)
     state2, stats = step(state, rays, pixels_ok)
     assert np.isfinite(float(stats.loss))
+
+
+def test_multi_step_matches_sequential_steps():
+    """lax.scan multi-step (one dispatch for K steps) == K jitted steps:
+    same PRNG chain, same LR positions, same params."""
+    from nerf_or_nothing_tpu.train import make_jitted_multi_step
+
+    cfg = tiny_config(
+        batch_size=8, num_samples=8, num_levels=2, net_depth=3,
+        net_width=32, net_width_condition=16, skip_layer=2, max_deg_point=4,
+        randomized=True, donate_params=False, compute_dtype="float32",
+        use_pallas=False,
+    )
+    rays = make_rays(cfg.batch_size)
+    pixels = jnp.asarray(
+        np.random.default_rng(1).uniform(size=(cfg.batch_size, 3))
+        .astype(np.float32)
+    )
+    k = 5
+    s_seq = init_train_state(cfg)
+    step = make_jitted_train_step(cfg)
+    stats_seq = []
+    for _ in range(k):
+        s_seq, st = step(s_seq, rays, pixels)
+        stats_seq.append(float(st.loss))
+
+    s_scan = init_train_state(cfg)
+    rays_stack = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (k, *a.shape)), rays
+    )
+    pixels_stack = jnp.broadcast_to(pixels, (k, *pixels.shape))
+    s_scan, st_scan = make_jitted_multi_step(cfg)(
+        s_scan, rays_stack, pixels_stack
+    )
+    assert int(s_scan.step) == k
+    np.testing.assert_allclose(
+        np.asarray(st_scan.loss), np.asarray(stats_seq), rtol=1e-6
+    )
+    for (w1, b1), (w2, b2) in zip(s_seq.params, s_scan.params):
+        np.testing.assert_allclose(
+            np.asarray(w1), np.asarray(w2), rtol=1e-6, atol=1e-8
+        )
+        np.testing.assert_allclose(
+            np.asarray(b1), np.asarray(b2), rtol=1e-6, atol=1e-8
+        )
