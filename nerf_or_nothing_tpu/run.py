@@ -29,8 +29,20 @@ from nerf_or_nothing_tpu.rays import Rays
 from nerf_or_nothing_tpu.train import (
     TrainState,
     init_train_state,
+    make_jitted_multi_step,
     make_jitted_train_step,
 )
+
+
+def _chunk_len(step: int, cfg: Config, spc: int) -> int:
+    """Steps until the next loop boundary (log/save/test-render/gc/end),
+    capped at ``spc`` — multi-step chunks never skip a side-effect step."""
+    nxt = cfg.max_steps - step
+    for interval in (cfg.print_every, cfg.save_every,
+                     cfg.test_render_interval, cfg.gc_every):
+        if interval > 0:
+            nxt = min(nxt, (step // interval + 1) * interval - step)
+    return max(1, min(spc, nxt))
 
 
 def train(cfg: Config, log_dir: Optional[str] = None) -> TrainState:
@@ -57,6 +69,7 @@ def train(cfg: Config, log_dir: Optional[str] = None) -> TrainState:
     # 'batch' mesh, (n,) = n-device DP, (dp, mp) = 2-D tensor parallelism.
     n_dev = len(jax.devices())
     mesh_shape = tuple(cfg.mesh_shape)
+    single_device = False
     if len(mesh_shape) > 2:
         raise ValueError(f"mesh_shape must be 1-D or 2-D, got {mesh_shape}")
     if len(mesh_shape) == 2:
@@ -80,6 +93,7 @@ def train(cfg: Config, log_dir: Optional[str] = None) -> TrainState:
         def put(rays, pixels):
             return mesh_lib.shard_batch(mesh, rays, pixels)
     else:
+        single_device = True
         step_fn = make_jitted_train_step(cfg)
 
         def put(rays, pixels):
@@ -102,18 +116,41 @@ def train(cfg: Config, log_dir: Optional[str] = None) -> TrainState:
     render_fn = None
     import gc
 
+    # In-graph multi-step (steps_per_call > 1): single-device path only —
+    # profiling stays per-step, mesh paths keep their own dispatch.
+    spc = cfg.steps_per_call if (
+        cfg.steps_per_call > 1 and not cfg.profile_dir and single_device
+    ) else 1
+    multi_fn = make_jitted_multi_step(cfg) if spc > 1 else None
+
     tracing = False
-    for step in range(start_step + 1, cfg.max_steps + 1):
-        if cfg.profile_dir and step == start_step + 11:
-            jax.profiler.start_trace(cfg.profile_dir)
-            tracing = True
-        rays, pixels = next(dataset)
-        state, stats = step_fn(state, *put(rays, pixels))
-        if tracing and step >= start_step + 20:
-            jax.tree.map(lambda x: x.block_until_ready(), stats)
-            jax.profiler.stop_trace()
-            tracing = False
-            print(f"trace written to {cfg.profile_dir}", flush=True)
+    step = start_step
+    while step < cfg.max_steps:
+        k = _chunk_len(step, cfg, spc)
+        if k > 1:
+            batches = [next(dataset) for _ in range(k)]
+            rays_stack = Rays(*[
+                jnp.asarray(np.stack([np.asarray(b[0][i]) for b in batches]))
+                for i in range(len(batches[0][0]))
+            ])
+            pixels_stack = jnp.asarray(
+                np.stack([np.asarray(b[1]) for b in batches])
+            )
+            state, stacked = multi_fn(state, rays_stack, pixels_stack)
+            stats = jax.tree.map(lambda a: a[-1], stacked)
+            step += k
+        else:
+            step += 1
+            if cfg.profile_dir and step == start_step + 11:
+                jax.profiler.start_trace(cfg.profile_dir)
+                tracing = True
+            rays, pixels = next(dataset)
+            state, stats = step_fn(state, *put(rays, pixels))
+            if tracing and step >= start_step + 20:
+                jax.tree.map(lambda x: x.block_until_ready(), stats)
+                jax.profiler.stop_trace()
+                tracing = False
+                print(f"trace written to {cfg.profile_dir}", flush=True)
         if step % cfg.print_every == 0 and is_lead:
             logger.log(step, jax.device_get(stats))
         if cfg.checkpoint_dir and step % cfg.save_every == 0 and is_lead:

@@ -114,3 +114,36 @@ def test_cli_train_profile_trace(scene, tmp_path):
     for root, _, files in os.walk(prof):
         found += [f for f in files if "trace" in f or f.endswith(".pb")]
     assert found, f"no trace artifacts under {prof}"
+
+
+def test_cli_train_steps_per_call_matches_per_step(scene, tmp_path):
+    """--steps-per-call=8 (in-graph lax.scan multi-step) trains to exactly
+    the same checkpoint as the classic per-step loop: same batch sequence,
+    PRNG chain, LR positions; boundaries (print/save) still land."""
+    import numpy as np
+    from nerf_or_nothing_tpu import checkpoint as ckpt_lib
+    from nerf_or_nothing_tpu.config import parse_flags
+    from nerf_or_nothing_tpu.run import main
+    from nerf_or_nothing_tpu.train import init_train_state
+
+    base = [
+        f"--data-dir={scene}", "--dataset-loader=blender",
+        "--batch-size=16", "--num-samples=8", "--net-depth=2",
+        "--net-width=16", "--net-width-condition=8", "--max-deg-point=4",
+        "--num-levels=1", "--max-steps=20", "--print-every=10",
+        "--save-every=20", "--use-pallas=false", "--mesh-shape=1",
+        "--test-render-interval=0", "--donate-params=false",
+        "--compute-dtype=float32",
+    ]
+    params = {}
+    for name, extra in (("per_step", []), ("multi", ["--steps-per-call=8"])):
+        ckpt = str(tmp_path / name)
+        assert main(["train", *base, f"--checkpoint-dir={ckpt}", *extra]) == 0
+        cfg = parse_flags([*base, f"--checkpoint-dir={ckpt}"])
+        state = ckpt_lib.maybe_restore(ckpt, init_train_state(cfg))
+        assert int(state.step) == 20
+        params[name] = state.params
+    for (w1, b1), (w2, b2) in zip(params["per_step"], params["multi"]):
+        np.testing.assert_allclose(
+            np.asarray(w1), np.asarray(w2), rtol=1e-6, atol=1e-7
+        )
