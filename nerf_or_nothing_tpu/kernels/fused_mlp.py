@@ -351,14 +351,19 @@ def _backward_chunks(cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens, acc,
 
     # ---- rgb head ----
     i_rgb = D + 1 + Dc
-    acc_dw(dw_refs[i_rgb], dw([vs[c][-1] for c in R], g_rgbs))
-    acc(db_refs[i_rgb], db(g_rgbs))
-    # the g chain itself runs in the compute dtype (its operands are cast
-    # to dt before every MXU op anyway); dW/db accumulate in f32
-    g = chain(
+    # the g chain runs in the compute dtype (its operands are cast to dt
+    # before every MXU op anyway); dW/db accumulate in f32. The g-chain
+    # matmul is ISSUED FIRST each layer: it is the critical path (the next
+    # layer's mask needs it), while the dW/db products only feed the grid
+    # accumulator - issue order biases Mosaic's scheduler toward keeping
+    # the chain moving with the accumulation behind it.
+    g_next = chain(
         lambda: [_mm_nt(g_rgbs[c], ws[i_rgb], dt).astype(dt) for c in R],
         [vs[c][-1] for c in R],
     )
+    acc_dw(dw_refs[i_rgb], dw([vs[c][-1] for c in R], g_rgbs))
+    acc(db_refs[i_rgb], db(g_rgbs))
+    g = g_next
 
     # ---- view branch reversed ----
     g_d = [None] * C
@@ -400,12 +405,13 @@ def _backward_chunks(cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens, acc,
                 [hs[c][-1] for c in R],
             )
         else:
-            acc_dw(dw_refs[i], dw(h_in, g))
-            acc(db_refs[i], db(g))
-            g = chain(
+            g_next = chain(
                 lambda: [_mm_nt(g[c], ws[i], dt).astype(dt) for c in R],
                 [vs[c][j - 1] for c in R],
             )
+            acc_dw(dw_refs[i], dw(h_in, g))
+            acc(db_refs[i], db(g))
+            g = g_next
 
     # ---- density head joins the trunk gradient (MLP.cs:148-153) ----
     acc_dw(dw_refs[D], dw([hs[c][-1] for c in R], g_dens))
@@ -421,6 +427,11 @@ def _backward_chunks(cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens, acc,
         g = [g[c] * (hs[c][i].astype(jnp.float32) > 0.0) for c in R]
         h_in = [hs[c][i - 1] if i > 0 else None for c in R]
         if i % skip == 0 and i > 0:
+            g_next = chain(
+                lambda: [_mm_nt(g[c], ws[i][:nw, :], dt).astype(dt)
+                         for c in R],
+                [hs[c][i - 1] for c in R],
+            )
             acc(
                 dw_refs[i],
                 jnp.concatenate([_s(dw(h_in, g)), _s(dw_x(g))], axis=0),
@@ -431,19 +442,17 @@ def _backward_chunks(cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens, acc,
                     g_x[c] + _mm_nt(g[c], ws[i][nw:, :], dt).astype(dt)
                     for c in R
                 ]
-            g = chain(
-                lambda: [_mm_nt(g[c], ws[i][:nw, :], dt).astype(dt)
-                         for c in R],
-                [hs[c][i - 1] for c in R],
-            )
+            g = g_next
         else:
-            acc_dw(dw_refs[i], dw(h_in, g) if i > 0 else dw_x(g))
-            acc(db_refs[i], db(g))
             if i > 0 or want_dx:
-                g = chain(
+                g_next = chain(
                     lambda: [_mm_nt(g[c], ws[i], dt).astype(dt) for c in R],
                     [hs[c][max(i - 1, 0)] for c in R],
                 )
+            acc_dw(dw_refs[i], dw(h_in, g) if i > 0 else dw_x(g))
+            acc(db_refs[i], db(g))
+            if i > 0 or want_dx:
+                g = g_next
     if want_dx:
         g_x = [g_x[c] + g[c] for c in R]  # layer 0's input IS x
     return g_x, g_d
