@@ -285,9 +285,23 @@ def _backward_chunks(cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens, acc,
 
     # Perf-attribution hook (docs/PERF.md kernel-internal decomposition):
     # FM_BWD=nodw replaces the dW/db matmul family with shape-matched
-    # fillers; FM_BWD=nogchain breaks the g-chain instead. Inert unless set.
+    # fillers; FM_BWD=nogchain breaks the g-chain instead; FM_BWD=phased
+    # issues the ENTIRE g-chain first and all dW/db matmuls afterwards
+    # (probing the dW<->g-chain scheduling interaction). Inert unless set.
     import os as _os
     _probe = _os.environ.get("FM_BWD", "")
+
+    # In phased mode the dW/db accumulations are recorded as thunks during
+    # the chain walk (operands captured by value) and traced only after the
+    # whole g-chain has been emitted, so Mosaic sees two disjoint phases:
+    # a pure dependent chain, then a burst of independent accumulations.
+    _deferred: List[Any] = []
+
+    def emit(thunk):
+        if _probe == "phased":
+            _deferred.append(thunk)
+        else:
+            thunk()
 
     def db(gs):
         # bias grads reduce over up to thousands of rows: accumulate f32
@@ -361,8 +375,8 @@ def _backward_chunks(cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens, acc,
         lambda: [_mm_nt(g_rgbs[c], ws[i_rgb], dt).astype(dt) for c in R],
         [vs[c][-1] for c in R],
     )
-    acc_dw(dw_refs[i_rgb], dw([vs[c][-1] for c in R], g_rgbs))
-    acc(db_refs[i_rgb], db(g_rgbs))
+    emit(lambda: acc_dw(dw_refs[i_rgb], dw([vs[c][-1] for c in R], g_rgbs)))
+    emit(lambda: acc(db_refs[i_rgb], db(g_rgbs)))
     g = g_next
 
     # ---- view branch reversed ----
@@ -386,7 +400,7 @@ def _backward_chunks(cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens, acc,
                 ]
             else:
                 g_ray = g
-            acc(
+            emit(lambda g=g, g_ray=g_ray, h_in=h_in, i=i: acc(
                 dw_refs[i],
                 jnp.concatenate(
                     [_s(dw(h_in, g)),
@@ -395,8 +409,8 @@ def _backward_chunks(cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens, acc,
                      sum(_mm_tn(ds[c], g_ray[c], dt) for c in R)],
                     axis=0,
                 ),
-            )
-            acc(db_refs[i], db(g))
+            ))
+            emit(lambda g=g, i=i: acc(db_refs[i], db(g)))
             if want_dd:
                 g_d = [_mm_nt(g_ray[c], ws[i][nw:, :], dt) for c in R]
             g = chain(
@@ -409,13 +423,14 @@ def _backward_chunks(cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens, acc,
                 lambda: [_mm_nt(g[c], ws[i], dt).astype(dt) for c in R],
                 [vs[c][j - 1] for c in R],
             )
-            acc_dw(dw_refs[i], dw(h_in, g))
-            acc(db_refs[i], db(g))
+            emit(lambda g=g, h_in=h_in, i=i: acc_dw(dw_refs[i],
+                                                    dw(h_in, g)))
+            emit(lambda g=g, i=i: acc(db_refs[i], db(g)))
             g = g_next
 
     # ---- density head joins the trunk gradient (MLP.cs:148-153) ----
-    acc_dw(dw_refs[D], dw([hs[c][-1] for c in R], g_dens))
-    acc(db_refs[D], db(g_dens))
+    emit(lambda: acc_dw(dw_refs[D], dw([hs[c][-1] for c in R], g_dens)))
+    emit(lambda: acc(db_refs[D], db(g_dens)))
     g = chain(
         lambda: [g[c] + _mm_nt(g_dens[c], ws[D], dt).astype(dt) for c in R],
         [hs[c][-1] for c in R],
@@ -432,11 +447,11 @@ def _backward_chunks(cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens, acc,
                          for c in R],
                 [hs[c][i - 1] for c in R],
             )
-            acc(
+            emit(lambda g=g, h_in=h_in, i=i: acc(
                 dw_refs[i],
                 jnp.concatenate([_s(dw(h_in, g)), _s(dw_x(g))], axis=0),
-            )
-            acc(db_refs[i], db(g))
+            ))
+            emit(lambda g=g, i=i: acc(db_refs[i], db(g)))
             if want_dx:
                 g_x = [
                     g_x[c] + _mm_nt(g[c], ws[i][nw:, :], dt).astype(dt)
@@ -449,10 +464,13 @@ def _backward_chunks(cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens, acc,
                     lambda: [_mm_nt(g[c], ws[i], dt).astype(dt) for c in R],
                     [hs[c][max(i - 1, 0)] for c in R],
                 )
-            acc_dw(dw_refs[i], dw(h_in, g) if i > 0 else dw_x(g))
-            acc(db_refs[i], db(g))
+            emit(lambda g=g, h_in=h_in, i=i: acc_dw(
+                dw_refs[i], dw(h_in, g) if i > 0 else dw_x(g)))
+            emit(lambda g=g, i=i: acc(db_refs[i], db(g)))
             if i > 0 or want_dx:
                 g = g_next
+    for _thunk in _deferred:  # phased mode: dW/db burst after the chain
+        _thunk()
     if want_dx:
         g_x = [g_x[c] + g[c] for c in R]  # layer 0's input IS x
     return g_x, g_d
