@@ -67,6 +67,11 @@ def main():
     p.add_argument("--batch-size", type=int, default=1024)
     p.add_argument("--keep-trace", type=str, default="")
     p.add_argument("--fuse-ipe", action="store_true")
+    p.add_argument(
+        "--probes", type=str, default="",
+        help="kernel perf-attribution probes, e.g. "
+             "'fm_bwd=phased,fl_tile=4096' (Config.kernel_probes)",
+    )
     args = p.parse_args()
 
     import jax
@@ -82,7 +87,8 @@ def main():
         init_train_state, make_jitted_train_step,
     )
 
-    cfg = Config(batch_size=args.batch_size, fuse_ipe=args.fuse_ipe)
+    cfg = Config(batch_size=args.batch_size, fuse_ipe=args.fuse_ipe,
+                 kernel_probes=args.probes)
     state = init_train_state(cfg)
     rays, pixels = _example_batch(cfg, cfg.batch_size)
     step = make_jitted_train_step(cfg)

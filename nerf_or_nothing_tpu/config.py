@@ -158,6 +158,17 @@ class Config:
     # When set, the train loop captures an XLA op-level trace of steps
     # 11..20 into this directory (viewable in TensorBoard / XProf).
     profile_dir: str = ""
+    # Perf-attribution probes for the Pallas kernels, as a comma-separated
+    # "key=value" string (e.g. "fm_bwd=phased,fl_tile=4096"). EXCLUSIVELY a
+    # benchmarking hook (benchmarks/profile_step.py --probes ...): several
+    # modes replace gradient math with shape-matched fillers to isolate one
+    # op family's cost. Being a Config field makes every probe part of the
+    # jit/pallas cache key, so a toggle can never be silently ignored (the
+    # old env-var hooks were read at trace time and missed by the cache
+    # key) and production configs — which never set this — can never
+    # compute filler gradients. Keys: fm_bwd (nodw|nogchain|phased|accper),
+    # fl_variant (nobwd), fl_tile, fl_il.
+    kernel_probes: str = ""
 
     seed: int = 0
 
@@ -182,6 +193,14 @@ class Config:
 
     def replace(self, **kw: Any) -> "Config":
         return dataclasses.replace(self, **kw)
+
+    def probe(self, key: str, default: str = "") -> str:
+        """Look up one ``kernel_probes`` entry (benchmark-only hook)."""
+        for item in self.kernel_probes.split(","):
+            k, _, v = item.partition("=")
+            if k.strip() == key:
+                return v.strip()
+        return default
 
 
 def tiny_config(**overrides: Any) -> Config:

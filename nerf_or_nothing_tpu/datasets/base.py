@@ -51,6 +51,7 @@ class Dataset:
         self._queue: "queue.Queue" = queue.Queue(maxsize=4)
         self._thread: Optional[threading.Thread] = None
         self._peeked: Optional[Tuple[Rays, np.ndarray]] = None
+        self._stop = threading.Event()
 
     # -- subclass API -------------------------------------------------------
     def _load(self) -> None:
@@ -90,13 +91,46 @@ class Dataset:
             batch, self._peeked = self._peeked, None
             return batch
         if self._thread is None:
+            if self._stop.is_set():
+                raise RuntimeError("dataset is closed")
             self._thread = threading.Thread(target=self._worker, daemon=True)
             self._thread.start()
         return self._queue.get()
 
     def _worker(self) -> None:
-        while True:
-            self._queue.put(self._sample_batch())
+        # Bounded-put loop so ``close()`` can always join: a plain blocking
+        # ``queue.put`` would deadlock the worker against a consumer that
+        # has already exited (the round-3 latent interpreter-exit flake).
+        while not self._stop.is_set():
+            batch = self._sample_batch()
+            while not self._stop.is_set():
+                try:
+                    self._queue.put(batch, timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
+
+    def close(self) -> None:
+        """Stop the prefetch worker and join it (idempotent).
+
+        Call at the end of train/eval; ``__exit__`` and ``__del__`` call it
+        too, so abandoned datasets cannot leak a blocked daemon thread."""
+        self._stop.set()
+        thread, self._thread = self._thread, None
+        if thread is not None:
+            thread.join(timeout=5.0)
+
+    def __enter__(self) -> "Dataset":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    def __del__(self) -> None:
+        try:
+            self.close()
+        except Exception:
+            pass  # interpreter teardown: modules may already be gone
 
     def peek(self) -> Tuple[Rays, np.ndarray]:
         """The batch ``__next__`` will return, without consuming it.

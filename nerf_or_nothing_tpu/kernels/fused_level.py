@@ -165,12 +165,10 @@ def _composite_chunk(cfg: Config, white_bkgd: bool, s: int, raw_rgb, raw_den,
     return comp, acc_out, weights, g_rgb, g_den
 
 
-# Perf-attribution hooks used by benchmarks/profile_step.py ablations
-# (docs/PERF.md "kernel-internal decomposition"); inert unless set.
-import os as _os
-_VARIANT = _os.environ.get("FL_VARIANT", "")         # e.g. "nobwd"
-_TILE_OVERRIDE = int(_os.environ.get("FL_TILE", "0"))  # row-tile sweep
-_IL_OVERRIDE = int(_os.environ.get("FL_IL", "0"))      # interleave sweep
+# Perf-attribution hooks (cfg.kernel_probes, set only by
+# benchmarks/profile_step.py --probes): fl_variant=nobwd skips the MLP
+# backward; fl_tile / fl_il override the row tile / interleave for sweeps.
+# Read through cfg so every probe is part of the jit/pallas cache key.
 
 
 def _ipe_perm(cfg: Config):
@@ -319,7 +317,7 @@ def _level_kernel(cfg: Config, dt, s: int, white_bkgd: bool, interleave: int,
     g_dens = _split_rows(g_den, interleave)
 
     # ---- MLP backward reusing the live activations (no recompute) ----
-    if _VARIANT == "nobwd":  # perf-attribution ablation: skip MLP backward
+    if cfg.probe("fl_variant") == "nobwd":  # ablation: skip MLP backward
         for r in list(dw_refs) + list(db_refs):
             r[...] = jnp.zeros(r.shape, r.dtype) + g_rgbs[0][0, 0]
     else:
@@ -492,7 +490,7 @@ def fused_level_render(params: Params, cfg: Config, x_enc,
     delta = ((t_vals[..., 1:] - t_vals[..., :-1]) * d_norm).astype(
         jnp.float32
     )
-    tile = tile or _TILE_OVERRIDE or DEFAULT_TILE_LEVEL
+    tile = tile or int(cfg.probe("fl_tile", "0")) or DEFAULT_TILE_LEVEL
     if tile % s:
         tile = ((tile + s - 1) // s) * s
 
@@ -503,7 +501,7 @@ def fused_level_render(params: Params, cfg: Config, x_enc,
         return il
 
     interleave = pick_interleave(
-        _IL_OVERRIDE or DEFAULT_INTERLEAVE_BWD, tile
+        int(cfg.probe("fl_il", "0")) or DEFAULT_INTERLEAVE_BWD, tile
     )
     return _fused_render_impl(
         params, x2d, d2d, delta, cfg=cfg, tile=tile, s=s,
@@ -659,7 +657,7 @@ def fused_level_train(params: Params, cfg: Config, x_enc,
     delta = ((t_vals[..., 1:] - t_vals[..., :-1]) * d_norm).astype(
         jnp.float32
     )
-    tile = tile or _TILE_OVERRIDE or DEFAULT_TILE_LEVEL
+    tile = tile or int(cfg.probe("fl_tile", "0")) or DEFAULT_TILE_LEVEL
     if tile % s:
         tile = ((tile + s - 1) // s) * s  # tiles must cover whole rays
 
@@ -670,7 +668,7 @@ def fused_level_train(params: Params, cfg: Config, x_enc,
         return il
 
     interleave = pick_interleave(
-        _IL_OVERRIDE or DEFAULT_INTERLEAVE_BWD, tile
+        int(cfg.probe("fl_il", "0")) or DEFAULT_INTERLEAVE_BWD, tile
     )
     return _fused_level_impl(
         params, xs_in, d2d, delta, pixels.astype(jnp.float32),

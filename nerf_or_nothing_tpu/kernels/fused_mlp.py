@@ -283,18 +283,20 @@ def _backward_chunks(cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens, acc,
     else:
         hs, vs = acts
 
-    # Perf-attribution hook (docs/PERF.md kernel-internal decomposition):
-    # FM_BWD=nodw replaces the dW/db matmul family with shape-matched
-    # fillers; FM_BWD=nogchain breaks the g-chain instead; FM_BWD=phased
+    # Perf-attribution hook (docs/PERF.md kernel-internal decomposition),
+    # read from cfg.kernel_probes (benchmarks/profile_step.py --probes):
+    # fm_bwd=nodw replaces the dW/db matmul family with shape-matched
+    # fillers; fm_bwd=nogchain breaks the g-chain instead; fm_bwd=phased
     # issues the ENTIRE g-chain first and all dW/db matmuls afterwards
     # (probing the dW<->g-chain scheduling interaction). Inert unless set.
-    import os as _os
-    _probe = _os.environ.get("FM_BWD", "")
+    _probe = cfg.probe("fm_bwd")
 
     # In phased mode the dW/db accumulations are recorded as thunks during
-    # the chain walk (operands captured by value) and traced only after the
-    # whole g-chain has been emitted, so Mosaic sees two disjoint phases:
-    # a pure dependent chain, then a burst of independent accumulations.
+    # the chain walk (every operand default-bound at emit time — a later
+    # rebinding of the free variable must not change a recorded thunk) and
+    # traced only after the whole g-chain has been emitted, so Mosaic sees
+    # two disjoint phases: a pure dependent chain, then a burst of
+    # independent accumulations.
     _deferred: List[Any] = []
 
     def emit(thunk):
@@ -327,7 +329,7 @@ def _backward_chunks(cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens, acc,
         return sum(v) if isinstance(v, list) else v
 
     def acc_dw(ref, val):
-        # FM_BWD=accper: feed each chunk's dW product to the accumulator as
+        # fm_bwd=accper: feed each chunk's dW product to the accumulator as
         # it retires instead of joining all chunks on the VPU first.
         if isinstance(val, list):
             acc(ref, val[0])
@@ -356,7 +358,7 @@ def _backward_chunks(cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens, acc,
         return sum(_mm_tn(xs[c], gs[c], dt) for c in R)
 
     def chain(real, fallback):
-        # FM_BWD=nogchain: replace every g-chain matmul with the (shape-
+        # fm_bwd=nogchain: replace every g-chain matmul with the (shape-
         # matched, data-dependent) forward activation, breaking the layer-
         # to-layer dependency while keeping dW/db/mask work intact.
         if _probe == "nogchain":
@@ -375,8 +377,9 @@ def _backward_chunks(cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens, acc,
         lambda: [_mm_nt(g_rgbs[c], ws[i_rgb], dt).astype(dt) for c in R],
         [vs[c][-1] for c in R],
     )
-    emit(lambda: acc_dw(dw_refs[i_rgb], dw([vs[c][-1] for c in R], g_rgbs)))
-    emit(lambda: acc(db_refs[i_rgb], db(g_rgbs)))
+    _h_rgb = [vs[c][-1] for c in R]
+    emit(lambda h=_h_rgb, g=g_rgbs, i=i_rgb: acc_dw(dw_refs[i], dw(h, g)))
+    emit(lambda g=g_rgbs, i=i_rgb: acc(db_refs[i], db(g)))
     g = g_next
 
     # ---- view branch reversed ----
@@ -429,8 +432,9 @@ def _backward_chunks(cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens, acc,
             g = g_next
 
     # ---- density head joins the trunk gradient (MLP.cs:148-153) ----
-    emit(lambda: acc_dw(dw_refs[D], dw([hs[c][-1] for c in R], g_dens)))
-    emit(lambda: acc(db_refs[D], db(g_dens)))
+    _h_den = [hs[c][-1] for c in R]
+    emit(lambda h=_h_den, g=g_dens: acc_dw(dw_refs[D], dw(h, g)))
+    emit(lambda g=g_dens: acc(db_refs[D], db(g)))
     g = chain(
         lambda: [g[c] + _mm_nt(g_dens[c], ws[D], dt).astype(dt) for c in R],
         [hs[c][-1] for c in R],

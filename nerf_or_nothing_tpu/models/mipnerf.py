@@ -39,6 +39,83 @@ def _compute_dtype(cfg: Config):
     return jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
 
+# ---------------------------------------------------------------------------
+# Shared per-level building blocks. Both training paths — jax.grad over
+# ``render_rays`` and the fused-level kernel path
+# (train._fused_level_value_and_grad) — and the inference path are built
+# from THESE helpers, so a per-level feature (a new level count, a new
+# sampling rule, a new loss mask) lands exactly once.
+# ---------------------------------------------------------------------------
+
+
+def encode_dirs(cfg: Config, rays: Rays) -> jnp.ndarray:
+    """View-direction PE: viewdirs (canonical) or the raw direction (the
+    reference quirk, MipNerfModel.cs:70) per ``cfg.use_viewdirs``."""
+    dir_to_encode = rays.viewdirs if cfg.use_viewdirs else rays.directions
+    return ipe.pos_enc(dir_to_encode, 0, cfg.deg_view)
+
+
+def sample_level(cfg: Config, level_key, rays: Rays, i_level: int, t_vals,
+                 weights, randomized: bool, stop_grad: bool):
+    """Level ``i_level``'s sample Gaussians: stratified at level 0,
+    blurpool+PDF resampling from the previous level's weights after
+    (MipNerfModel.cs:36-66). Returns (t_vals, (means, covs))."""
+    if i_level == 0:
+        return sampling.sample_along_rays(
+            level_key, rays.origins, rays.directions, rays.radii,
+            cfg.num_samples, rays.near, rays.far, randomized,
+            cfg.lin_disp, cfg.ray_shape, diag=cfg.diag_covariance,
+        )
+    return sampling.resample_along_rays(
+        level_key, rays.origins, rays.directions, rays.radii,
+        t_vals, weights, randomized, cfg.ray_shape,
+        cfg.resample_padding, stop_grad=stop_grad,
+        diag=cfg.diag_covariance,
+    )
+
+
+def encode_samples(cfg: Config, means, covs, in_kernel: bool, dtype=None):
+    """IPE features, or the raw (means, covs) when the IPE runs inside the
+    fused kernel. Returns (x_enc, means_covs) — exactly one is non-None."""
+    if in_kernel and cfg.fuse_ipe and cfg.diag_covariance:
+        return None, (means, covs)
+    x_enc = ipe.integrated_pos_enc(
+        (means, covs), cfg.min_deg_point, cfg.max_deg_point,
+        diag=cfg.diag_covariance,
+        # bf16 inside the encode fusion: halves the [R*S, F] HBM write and
+        # feeds the Pallas kernel its compute dtype directly.
+        dtype=dtype,
+    )
+    return x_enc, None
+
+
+def loss_normalizer(cfg: Config, loss_mult: jnp.ndarray, axis_name=None):
+    """Multiscale-loss mask + normalizer (reference ``lossMultSum``,
+    Program.cs:64). With ``axis_name`` (data-parallel shard_map) the
+    normalizer is the GLOBAL sum over the whole batch — the pmean'd sum
+    equals global_sum/n_shards, so the caller's subsequent pmean over
+    losses/grads reproduces the single-device result exactly even with
+    non-uniform loss_mult (Multicam's 4^s area weights)."""
+    mask = loss_mult[..., 0]
+    if cfg.disable_multiscale_loss:
+        mask = jnp.ones_like(mask)
+    local_sum = jnp.sum(mask)
+    if axis_name is not None:
+        local_sum = jax.lax.pmean(local_sum, axis_name)
+    return mask, jnp.maximum(local_sum, 1e-10)
+
+
+def level_weight(cfg: Config, i_level: int) -> float:
+    """Loss weight of one level: coarse_loss_mult below the fine level
+    (Program.cs:81)."""
+    return 1.0 if i_level == cfg.num_levels - 1 else cfg.coarse_loss_mult
+
+
+def total_from_level_losses(cfg: Config, losses: jnp.ndarray):
+    """Total loss from stacked per-level MSEs (Program.cs:81)."""
+    return cfg.coarse_loss_mult * jnp.sum(losses[:-1]) + losses[-1]
+
+
 def render_rays(
     params: mlp_lib.Params,
     cfg: Config,
@@ -82,52 +159,22 @@ def render_rays(
             def mlp_apply(p, c, x, d):
                 return mlp_lib.apply_mlp(p, c, x, d, compute_dtype=dt)
 
-    dir_to_encode = rays.viewdirs if cfg.use_viewdirs else rays.directions
-    dir_enc = ipe.pos_enc(dir_to_encode, 0, cfg.deg_view)
+    dir_enc = encode_dirs(cfg, rays)
 
     results: List[render.RenderResult] = []
     t_vals = None
     weights = None
     for i_level in range(cfg.num_levels):
         key, level_key = jax.random.split(key)
-        if i_level == 0:
-            t_vals, (means, covs) = sampling.sample_along_rays(
-                level_key,
-                rays.origins,
-                rays.directions,
-                rays.radii,
-                cfg.num_samples,
-                rays.near,
-                rays.far,
-                randomized,
-                cfg.lin_disp,
-                cfg.ray_shape,
-                diag=cfg.diag_covariance,
-            )
-        else:
-            t_vals, (means, covs) = sampling.resample_along_rays(
-                level_key,
-                rays.origins,
-                rays.directions,
-                rays.radii,
-                t_vals,
-                weights,
-                randomized,
-                cfg.ray_shape,
-                cfg.resample_padding,
-                stop_grad=cfg.stop_level_grad,
-                diag=cfg.diag_covariance,
-            )
+        t_vals, (means, covs) = sample_level(
+            cfg, level_key, rays, i_level, t_vals, weights, randomized,
+            stop_grad=cfg.stop_level_grad,
+        )
 
         if fused_render is not None:
-            if cfg.fuse_ipe and cfg.diag_covariance:
-                x_enc, means_covs = None, (means, covs)
-            else:
-                x_enc = ipe.integrated_pos_enc(
-                    (means, covs), cfg.min_deg_point, cfg.max_deg_point,
-                    diag=cfg.diag_covariance, dtype=dt,
-                )
-                means_covs = None
+            x_enc, means_covs = encode_samples(
+                cfg, means, covs, in_kernel=True, dtype=dt
+            )
             comp_rgb, acc, weights = fused_render(
                 params, cfg, x_enc, dir_enc, t_vals, rays.directions,
                 white_bkgd, means_covs=means_covs,
@@ -142,11 +189,10 @@ def render_rays(
                 render.RenderResult(comp_rgb, distance, acc, weights)
             )
             continue
-        x_enc = ipe.integrated_pos_enc(
-            (means, covs), cfg.min_deg_point, cfg.max_deg_point,
-            diag=cfg.diag_covariance,
-            # Pallas path: cast inside the encode fusion (the kernel
-            # wrapper would cast anyway; this keeps the HBM copy bf16).
+        # Pallas path: cast inside the encode fusion (the kernel wrapper
+        # would cast anyway; this keeps the HBM copy bf16).
+        x_enc, _ = encode_samples(
+            cfg, means, covs, in_kernel=False,
             dtype=dt if fused_kernel else None,
         )
         kwargs = {}
@@ -217,17 +263,10 @@ def multiscale_loss(
     Returns:
       (total_loss, per_level_mses).
     """
-    mask = loss_mult[..., 0]
-    if cfg.disable_multiscale_loss:
-        mask = jnp.ones_like(mask)
-    local_sum = jnp.sum(mask)
-    if axis_name is not None:
-        local_sum = jax.lax.pmean(local_sum, axis_name)
-    denom = jnp.maximum(local_sum, 1e-10)
+    mask, denom = loss_normalizer(cfg, loss_mult, axis_name=axis_name)
     losses = []
     for res in results:
         sq = jnp.sum((res.rgb - pixels) ** 2, axis=-1)
         losses.append(jnp.sum(mask * sq) / denom)
     losses = jnp.stack(losses)
-    total = cfg.coarse_loss_mult * jnp.sum(losses[:-1]) + losses[-1]
-    return total, losses
+    return total_from_level_losses(cfg, losses), losses

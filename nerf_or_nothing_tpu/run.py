@@ -125,75 +125,82 @@ def train(cfg: Config, log_dir: Optional[str] = None) -> TrainState:
 
     tracing = False
     step = start_step
-    while step < cfg.max_steps:
-        k = _chunk_len(step, cfg, spc)
-        if k > 1:
-            batches = [next(dataset) for _ in range(k)]
-            rays_stack = Rays(*[
-                jnp.asarray(np.stack([np.asarray(b[0][i]) for b in batches]))
-                for i in range(len(batches[0][0]))
-            ])
-            pixels_stack = jnp.asarray(
-                np.stack([np.asarray(b[1]) for b in batches])
-            )
-            state, stacked = multi_fn(state, rays_stack, pixels_stack)
-            stats = jax.tree.map(lambda a: a[-1], stacked)
-            step += k
-        else:
-            step += 1
-            if cfg.profile_dir and step == start_step + 11:
-                jax.profiler.start_trace(cfg.profile_dir)
-                tracing = True
-            rays, pixels = next(dataset)
-            state, stats = step_fn(state, *put(rays, pixels))
-            if tracing and step >= start_step + 20:
-                jax.tree.map(lambda x: x.block_until_ready(), stats)
-                jax.profiler.stop_trace()
-                tracing = False
-                print(f"trace written to {cfg.profile_dir}", flush=True)
-        if step % cfg.print_every == 0 and is_lead:
-            logger.log(step, jax.device_get(stats))
-        if cfg.checkpoint_dir and step % cfg.save_every == 0 and is_lead:
-            ckpt_lib.save_checkpoint(cfg.checkpoint_dir, state)
-        if (
-            cfg.test_render_interval > 0
-            and step % cfg.test_render_interval == 0
-            and is_lead
-        ):
-            try:
-                if test_ds is None:
-                    test_ds = create_dataset("test", cfg.data_dir, cfg)
-                    render_fn = make_render_fn(cfg)
-                trays, tgt = test_ds.image_rays(0)
-                th, tw = test_ds.image_dims(0)
-                # Params are replicated; pull to host so the local render
-                # jit is independent of the training mesh placement.
-                host_params = jax.tree.map(np.asarray, state.params)
-                rgb, _, _ = render_image(
-                    render_fn, host_params,
-                    Rays(*[jnp.asarray(x) for x in trays]),
-                    th, tw, cfg.render_chunk_size,
+    try:
+        while step < cfg.max_steps:
+            k = _chunk_len(step, cfg, spc)
+            if k > 1:
+                batches = [next(dataset) for _ in range(k)]
+                rays_stack = Rays(*[
+                    jnp.asarray(np.stack([np.asarray(b[0][i]) for b in batches]))
+                    for i in range(len(batches[0][0]))
+                ])
+                pixels_stack = jnp.asarray(
+                    np.stack([np.asarray(b[1]) for b in batches])
                 )
-                from nerf_or_nothing_tpu.eval import evaluate_image
+                state, stacked = multi_fn(state, rays_stack, pixels_stack)
+                stats = jax.tree.map(lambda a: a[-1], stacked)
+                step += k
+            else:
+                step += 1
+                if cfg.profile_dir and step == start_step + 11:
+                    jax.profiler.start_trace(cfg.profile_dir)
+                    tracing = True
+                rays, pixels = next(dataset)
+                state, stats = step_fn(state, *put(rays, pixels))
+                if tracing and step >= start_step + 20:
+                    jax.tree.map(lambda x: x.block_until_ready(), stats)
+                    jax.profiler.stop_trace()
+                    tracing = False
+                    print(f"trace written to {cfg.profile_dir}", flush=True)
+            if step % cfg.print_every == 0 and is_lead:
+                logger.log(step, jax.device_get(stats))
+            if cfg.checkpoint_dir and step % cfg.save_every == 0 and is_lead:
+                ckpt_lib.save_checkpoint(cfg.checkpoint_dir, state)
+            if (
+                cfg.test_render_interval > 0
+                and step % cfg.test_render_interval == 0
+                and is_lead
+            ):
+                try:
+                    if test_ds is None:
+                        test_ds = create_dataset("test", cfg.data_dir, cfg)
+                        render_fn = make_render_fn(cfg)
+                    trays, tgt = test_ds.image_rays(0)
+                    th, tw = test_ds.image_dims(0)
+                    # Params are replicated; pull to host so the local render
+                    # jit is independent of the training mesh placement.
+                    host_params = jax.tree.map(np.asarray, state.params)
+                    rgb, _, _ = render_image(
+                        render_fn, host_params,
+                        Rays(*[jnp.asarray(x) for x in trays]),
+                        th, tw, cfg.render_chunk_size,
+                    )
+                    from nerf_or_nothing_tpu.eval import evaluate_image
 
-                m = evaluate_image(rgb, np.asarray(tgt).reshape(th, tw, 3))
-                print(f"step {step:>7d}  test view 0: "
-                      f"psnr {m['psnr']:.2f} ssim {m['ssim']:.3f}",
-                      flush=True)
-            except Exception as e:  # no/unusable test split: warn once, off
-                print(f"test render disabled: {type(e).__name__}: {e}",
-                      flush=True)
-                cfg = cfg.replace(test_render_interval=0)
-        if cfg.gc_every > 0 and step % cfg.gc_every == 0:
-            # Config.GcEvery (TrainState.cs:62): periodic host GC keeps the
-            # long-running loop's Python garbage (per-batch numpy views,
-            # logging dicts) from accumulating into pauses.
-            gc.collect()
-    if tracing:
-        jax.profiler.stop_trace()  # loop too short to hit the stop step
-    if cfg.checkpoint_dir and is_lead:
-        ckpt_lib.save_checkpoint(cfg.checkpoint_dir, state)
-    logger.close()
+                    m = evaluate_image(rgb, np.asarray(tgt).reshape(th, tw, 3))
+                    print(f"step {step:>7d}  test view 0: "
+                          f"psnr {m['psnr']:.2f} ssim {m['ssim']:.3f}",
+                          flush=True)
+                except Exception as e:  # no/unusable test split: warn once, off
+                    print(f"test render disabled: {type(e).__name__}: {e}",
+                          flush=True)
+                    cfg = cfg.replace(test_render_interval=0)
+            if cfg.gc_every > 0 and step % cfg.gc_every == 0:
+                # Config.GcEvery (TrainState.cs:62): periodic host GC keeps the
+                # long-running loop's Python garbage (per-batch numpy views,
+                # logging dicts) from accumulating into pauses.
+                gc.collect()
+        if tracing:
+            jax.profiler.stop_trace()  # loop too short to hit the stop step
+        if cfg.checkpoint_dir and is_lead:
+            ckpt_lib.save_checkpoint(cfg.checkpoint_dir, state)
+        logger.close()
+    finally:
+        # Stop the prefetch workers (daemon threads) deterministically
+        # even on an exception mid-training.
+        dataset.close()
+        if test_ds is not None:
+            test_ds.close()
     return state
 
 
@@ -209,10 +216,10 @@ def evaluate(cfg: Config, max_images: Optional[int] = None) -> dict:
     state = init_train_state(cfg)
     if cfg.checkpoint_dir:
         state = ckpt_lib.maybe_restore(cfg.checkpoint_dir, state)
-    dataset = create_dataset("test", cfg.data_dir, cfg)
-    metrics = evaluate_dataset(
-        cfg, state.params, dataset, max_images, mesh=_eval_mesh()
-    )
+    with create_dataset("test", cfg.data_dir, cfg) as dataset:
+        metrics = evaluate_dataset(
+            cfg, state.params, dataset, max_images, mesh=_eval_mesh()
+        )
     print({k: round(v, 4) for k, v in metrics.items()})
     return metrics
 
@@ -227,38 +234,41 @@ def render(cfg: Config, out_dir: str, max_images: Optional[int] = None):
     if cfg.checkpoint_dir:
         state = ckpt_lib.maybe_restore(cfg.checkpoint_dir, state)
     dataset = create_dataset("test", cfg.data_dir, cfg)
-    mesh = _eval_mesh()
-    render_fn = make_render_fn(cfg, mesh=mesh)
-    os.makedirs(out_dir, exist_ok=True)
-    if cfg.render_path and hasattr(dataset, "render_path_rays"):
-        ray_list = dataset.render_path_rays()
-        if max_images is not None:
-            ray_list = ray_list[:max_images]
-        frames = enumerate(ray_list)
-    else:
-        n = dataset.num_images if max_images is None else min(
-            max_images, dataset.num_images
-        )
-        frames = (
-            (i, dataset.image_rays(i)[0], dataset.image_dims(i))
-            for i in range(n)
-        )
-    for frame in frames:
-        # Path renders use the dataset's representative dims; test-split
-        # renders carry per-image dims (Multicam mixes resolutions).
-        if len(frame) == 2:
-            i, rays = frame
-            h, w = dataset.height, dataset.width
+    try:
+        mesh = _eval_mesh()
+        render_fn = make_render_fn(cfg, mesh=mesh)
+        os.makedirs(out_dir, exist_ok=True)
+        if cfg.render_path and hasattr(dataset, "render_path_rays"):
+            ray_list = dataset.render_path_rays()
+            if max_images is not None:
+                ray_list = ray_list[:max_images]
+            frames = enumerate(ray_list)
         else:
-            i, rays, (h, w) = frame
-        rgb, dist, acc = render_image(
-            render_fn, state.params,
-            Rays(*[jnp.asarray(x) for x in rays]),
-            h, w, cfg.render_chunk_size, mesh=mesh,
-        )
-        img = (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
-        Image.fromarray(img).save(os.path.join(out_dir, f"render_{i:03d}.png"))
-        print(f"wrote render_{i:03d}.png")
+            n = dataset.num_images if max_images is None else min(
+                max_images, dataset.num_images
+            )
+            frames = (
+                (i, dataset.image_rays(i)[0], dataset.image_dims(i))
+                for i in range(n)
+            )
+        for frame in frames:
+            # Path renders use the dataset's representative dims; test-split
+            # renders carry per-image dims (Multicam mixes resolutions).
+            if len(frame) == 2:
+                i, rays = frame
+                h, w = dataset.height, dataset.width
+            else:
+                i, rays, (h, w) = frame
+            rgb, dist, acc = render_image(
+                render_fn, state.params,
+                Rays(*[jnp.asarray(x) for x in rays]),
+                h, w, cfg.render_chunk_size, mesh=mesh,
+            )
+            img = (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
+            Image.fromarray(img).save(os.path.join(out_dir, f"render_{i:03d}.png"))
+            print(f"wrote render_{i:03d}.png")
+    finally:
+        dataset.close()
 
 
 def main(argv=None):

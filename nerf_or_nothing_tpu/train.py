@@ -119,24 +119,24 @@ def _fused_level_value_and_grad(cfg: Config, params, key, rays: Rays,
     Returns (loss, (level_losses, fine_rgb, weight_l2), grads) — the same
     contract as jax.value_and_grad of the unfused loss_fn; grads are
     already axis-reduced when axis_name is given.
+
+    The per-level structure (dir encoding, sampling, encode-or-defer, loss
+    mask/normalizer, level weights) is the SAME code as the jax.grad path —
+    the shared helpers in ``models.mipnerf`` — so the two training paths
+    cannot drift; only the level compute (one fused kernel vs MLP +
+    composite + autodiff) differs.
     """
     from nerf_or_nothing_tpu.kernels.fused_level import fused_level_train
-    from nerf_or_nothing_tpu.ops import ipe as ipe_lib, sampling
 
-    dir_to_encode = rays.viewdirs if cfg.use_viewdirs else rays.directions
-    dir_enc = ipe_lib.pos_enc(dir_to_encode, 0, cfg.deg_view)
-
-    mask = rays.loss_mult[..., 0]
-    if cfg.disable_multiscale_loss:
-        mask = jnp.ones_like(mask)
-    # Global-batch normalizer (reference lossMultSum, Program.cs:64): under
-    # data parallelism the pmean'd sum = global_sum / n_shards, so the
-    # per-level grad pmean below reproduces the single-device gradients
-    # exactly even with non-uniform loss_mult (Multicam's 4^s weights).
-    local_sum = jnp.sum(mask)
-    if axis_name is not None:
-        local_sum = jax.lax.pmean(local_sum, axis_name)
-    denom = jnp.maximum(local_sum, 1e-10)
+    dir_enc = mipnerf.encode_dirs(cfg, rays)
+    # Global-batch normalizer (reference lossMultSum): under data
+    # parallelism the pmean'd sum = global_sum / n_shards, so the per-level
+    # grad pmean below reproduces the single-device gradients exactly even
+    # with non-uniform loss_mult (Multicam's 4^s weights).
+    mask, denom = mipnerf.loss_normalizer(
+        cfg, rays.loss_mult, axis_name=axis_name
+    )
+    dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
     grads = None
     losses = []
@@ -144,37 +144,18 @@ def _fused_level_value_and_grad(cfg: Config, params, key, rays: Rays,
     t_vals = weights = None
     for i_level in range(cfg.num_levels):
         key, level_key = jax.random.split(key)
-        if i_level == 0:
-            t_vals, (means, covs) = sampling.sample_along_rays(
-                level_key, rays.origins, rays.directions, rays.radii,
-                cfg.num_samples, rays.near, rays.far, cfg.randomized,
-                cfg.lin_disp, cfg.ray_shape, diag=cfg.diag_covariance,
-            )
-        else:
-            t_vals, (means, covs) = sampling.resample_along_rays(
-                level_key, rays.origins, rays.directions, rays.radii,
-                t_vals, weights, cfg.randomized, cfg.ray_shape,
-                cfg.resample_padding, stop_grad=True,
-                diag=cfg.diag_covariance,
-            )
-        if cfg.fuse_ipe and cfg.diag_covariance:
-            # IPE runs inside the level kernel (kernels/fused_level.py
-            # _encode_chunk): the [R*S, 96] feature tensor never exists.
-            x_enc, means_covs = None, (means, covs)
-        else:
-            x_enc = ipe_lib.integrated_pos_enc(
-                (means, covs), cfg.min_deg_point, cfg.max_deg_point,
-                diag=cfg.diag_covariance,
-                # bf16 inside the encode fusion: halves the [R*S, 96] HBM
-                # write and feeds the kernel its compute dtype directly.
-                dtype=(jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
-                       else None),
-            )
-            means_covs = None
-        level_weight = (
-            1.0 if i_level == cfg.num_levels - 1 else cfg.coarse_loss_mult
+        # stop_grad=True unconditionally: this path requires
+        # stop_level_grad (see use_fused_level).
+        t_vals, (means, covs) = mipnerf.sample_level(
+            cfg, level_key, rays, i_level, t_vals, weights,
+            cfg.randomized, stop_grad=True,
         )
-        g_scale = (level_weight * 2.0 * mask / denom)[..., None]
+        x_enc, means_covs = mipnerf.encode_samples(
+            cfg, means, covs, in_kernel=True, dtype=dt
+        )
+        g_scale = (
+            mipnerf.level_weight(cfg, i_level) * 2.0 * mask / denom
+        )[..., None]
         comp, _, weights, d_params = fused_level_train(
             params, cfg, x_enc, dir_enc, t_vals, rays.directions,
             pixels, g_scale, cfg.white_bkgd, means_covs=means_covs,
@@ -189,7 +170,7 @@ def _fused_level_value_and_grad(cfg: Config, params, key, rays: Rays,
             for (gw, gb), (dw, db) in zip(grads, d_params)
         ]
     losses = jnp.stack(losses)
-    total = cfg.coarse_loss_mult * jnp.sum(losses[:-1]) + losses[-1]
+    total = mipnerf.total_from_level_losses(cfg, losses)
     if cfg.weight_decay_mult > 0:
         wl2 = sum(jnp.sum(w**2) for w, _ in params)
         total = total + cfg.weight_decay_mult * wl2

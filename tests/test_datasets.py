@@ -270,3 +270,37 @@ def test_llff_spiral_render_path(llff_dir):
     ds = create_dataset("train", llff_dir, cfg)
     assert ds.render_poses is not None
     assert len(ds.render_path_rays()) == 120
+
+
+def test_close_joins_prefetch_worker(blender_dir):
+    """close() stops and joins the prefetch thread even with a full queue
+    and no consumer (VERDICT r3: the unstoppable-daemon-loop flake)."""
+    cfg = Config(
+        dataset_loader=DatasetType.BLENDER, data_dir=blender_dir,
+        batch_size=8,
+    )
+    ds = create_dataset("train", blender_dir, cfg)
+    next(ds)  # starts the worker
+    worker = ds._thread
+    assert worker is not None and worker.is_alive()
+    # Let the worker fill the queue and block on put; close must still join.
+    import time
+
+    time.sleep(0.3)
+    ds.close()
+    assert not worker.is_alive()
+    ds.close()  # idempotent
+    with pytest.raises(RuntimeError):
+        next(ds)  # a closed dataset refuses to restart its worker
+
+
+def test_dataset_context_manager(blender_dir):
+    cfg = Config(
+        dataset_loader=DatasetType.BLENDER, data_dir=blender_dir,
+        batch_size=8,
+    )
+    with create_dataset("train", blender_dir, cfg) as ds:
+        rays, pixels = next(ds)
+        assert pixels.shape == (8, 3)
+        worker = ds._thread
+    assert worker is None or not worker.is_alive()
