@@ -73,10 +73,12 @@ class Config:
     # every step is useless, so the working default matches save_every.
     test_render_interval: int = 100_000
     # Train steps folded into one device dispatch (lax.scan over staged
-    # batches, train.make_jitted_multi_step). 1 = classic per-step
-    # dispatch. >1 amortizes host dispatch; the loop still lands exactly
-    # on every print/save/test-render boundary (it shortens the last
-    # chunk before each). Single-device path only; no effect on meshes.
+    # batches: train.make_jitted_multi_step on one device,
+    # parallel.mesh.make_sharded_multi_step on a data-parallel mesh).
+    # 1 = classic per-step dispatch. >1 amortizes host dispatch; the loop
+    # still lands exactly on every print/save/test-render boundary (it
+    # shortens the last chunk before each). The 2-D tensor-parallel
+    # option keeps per-step dispatch.
     steps_per_call: int = 1
     disable_multiscale_loss: bool = False
     randomized: bool = True

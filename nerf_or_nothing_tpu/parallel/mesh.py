@@ -72,6 +72,21 @@ def shard_batch(mesh: Mesh, rays: Rays, pixels) -> tuple:
     return Rays(*[put(np.asarray(x)) for x in rays]), put(np.asarray(pixels))
 
 
+def shard_batch_stack(mesh: Mesh, rays_stack: Rays, pixels_stack) -> tuple:
+    """Place a [K, batch, ...] stack of batches onto the mesh, sharded over
+    'batch' along axis 1 (the per-step ray axis; K stays whole on every
+    chip — it is the scan axis of the multi-step program)."""
+    sharding = NamedSharding(mesh, P(None, BATCH_AXIS))
+    if jax.process_count() > 1:
+        put = partial(jax.make_array_from_process_local_data, sharding)
+    else:
+        put = partial(jax.device_put, device=sharding)
+    return (
+        Rays(*[put(np.asarray(x)) for x in rays_stack]),
+        put(np.asarray(pixels_stack)),
+    )
+
+
 def replicate_state(mesh: Mesh, state: TrainState) -> TrainState:
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sharding), state)
@@ -148,6 +163,45 @@ def make_sharded_train_step(cfg: Config, mesh: Mesh, mlp_apply=None):
         step_fn,
         mesh=mesh,
         in_specs=(P(), P(BATCH_AXIS), P(BATCH_AXIS)),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(
+        sharded, donate_argnums=(0,) if cfg.donate_params else ()
+    )
+
+
+def make_sharded_multi_step(cfg: Config, mesh: Mesh, mlp_apply=None):
+    """K sharded train steps per dispatch: ``lax.scan`` inside ``shard_map``.
+
+    The mesh counterpart of ``train.make_jitted_multi_step`` (VERDICT r3 #3):
+    ONE device program consumes a [K, batch, ...] stack (sharded over
+    'batch' along axis 1 — see ``shard_batch_stack``) and chains the donated
+    replicated TrainState in-graph, so pod training gets the same 1/K
+    host-dispatch amortization as the single-chip bench; per-level gradient
+    psums still happen inside every scanned step. Per-step stats come back
+    stacked [K].
+
+    The scan sits INSIDE shard_map: each chip scans over its own stripe of
+    every batch, and the per-step collectives (grad pmean, stats pmean) run
+    inside each iteration exactly as in the per-step path — so K scanned
+    steps are bit-identical to K sequential ``make_sharded_train_step``
+    calls (tests/test_distributed.py parity test).
+    """
+    step_fn = make_train_step(cfg, mlp_apply=mlp_apply, axis_name=BATCH_AXIS)
+
+    def multi_step(state: TrainState, rays_stack: Rays, pixels_stack):
+        def body(s, batch):
+            r, p = batch
+            s, stats = step_fn(s, r, p)
+            return s, stats
+
+        return jax.lax.scan(body, state, (rays_stack, pixels_stack))
+
+    sharded = jax.shard_map(
+        multi_step,
+        mesh=mesh,
+        in_specs=(P(), P(None, BATCH_AXIS), P(None, BATCH_AXIS)),
         out_specs=(P(), P()),
         check_vma=False,
     )

@@ -92,6 +92,12 @@ def train(cfg: Config, log_dir: Optional[str] = None) -> TrainState:
 
         def put(rays, pixels):
             return mesh_lib.shard_batch(mesh, rays, pixels)
+
+        def put_stack(rays_stack, pixels_stack):
+            return mesh_lib.shard_batch_stack(mesh, rays_stack, pixels_stack)
+
+        def make_multi():
+            return mesh_lib.make_sharded_multi_step(cfg, mesh)
     else:
         single_device = True
         step_fn = make_jitted_train_step(cfg)
@@ -100,6 +106,15 @@ def train(cfg: Config, log_dir: Optional[str] = None) -> TrainState:
             return (
                 Rays(*[jnp.asarray(x) for x in rays]), jnp.asarray(pixels)
             )
+
+        def put_stack(rays_stack, pixels_stack):
+            return (
+                Rays(*[jnp.asarray(x) for x in rays_stack]),
+                jnp.asarray(pixels_stack),
+            )
+
+        def make_multi():
+            return make_jitted_multi_step(cfg)
 
     # Multi-host: metrics/checkpoints are written by process 0 only (stats
     # and params are replicated — every process holds identical copies).
@@ -116,12 +131,16 @@ def train(cfg: Config, log_dir: Optional[str] = None) -> TrainState:
     render_fn = None
     import gc
 
-    # In-graph multi-step (steps_per_call > 1): single-device path only —
-    # profiling stays per-step, mesh paths keep their own dispatch.
+    # In-graph multi-step (steps_per_call > 1): single-device AND 1-D
+    # data-parallel mesh (lax.scan inside shard_map — the pod path gets the
+    # same 1/K dispatch amortization). Profiling stays per-step; the 2-D
+    # tensor-parallel option keeps per-step dispatch (it exists for models
+    # wide enough that step time dwarfs dispatch).
     spc = cfg.steps_per_call if (
-        cfg.steps_per_call > 1 and not cfg.profile_dir and single_device
+        cfg.steps_per_call > 1 and not cfg.profile_dir
+        and len(mesh_shape) != 2
     ) else 1
-    multi_fn = make_jitted_multi_step(cfg) if spc > 1 else None
+    multi_fn = make_multi() if spc > 1 else None
 
     tracing = False
     step = start_step
@@ -130,12 +149,12 @@ def train(cfg: Config, log_dir: Optional[str] = None) -> TrainState:
             k = _chunk_len(step, cfg, spc)
             if k > 1:
                 batches = [next(dataset) for _ in range(k)]
-                rays_stack = Rays(*[
-                    jnp.asarray(np.stack([np.asarray(b[0][i]) for b in batches]))
-                    for i in range(len(batches[0][0]))
-                ])
-                pixels_stack = jnp.asarray(
-                    np.stack([np.asarray(b[1]) for b in batches])
+                rays_stack, pixels_stack = put_stack(
+                    Rays(*[
+                        np.stack([np.asarray(b[0][i]) for b in batches])
+                        for i in range(len(batches[0][0]))
+                    ]),
+                    np.stack([np.asarray(b[1]) for b in batches]),
                 )
                 state, stacked = multi_fn(state, rays_stack, pixels_stack)
                 stats = jax.tree.map(lambda a: a[-1], stacked)
