@@ -151,6 +151,13 @@ class Config:
 
     # ---- eval / render ----
     render_chunk_size: int = 8192   # rays per chunk for full-image renders
+    # Train in LINEAR radiance: loaders decode the sRGB-encoded images with
+    # srgb_to_linear at load, and eval/render re-encode model output with
+    # linear_to_srgb for metrics and saved PNGs — the reference defines
+    # both transfer functions but never calls them (MipHelpers.cs:738-757);
+    # here they are a working, self-consistent pipeline. Default off: the
+    # canonical mip-NeRF pipeline trains directly in display space.
+    linear_color: bool = False
 
     # ---- checkpointing ----
     checkpoint_dir: str = ""

@@ -44,6 +44,8 @@ class Dataset:
         self.images: np.ndarray = None  # [N, H, W, 3]
         self.rays: Rays = None          # leaves [N, H, W, C]
         self._load()
+        if cfg.linear_color:
+            self._linearize()
         self._flatten()
         self._rng = np.random.default_rng(
             cfg.seed + 17 * jax.process_index() + (0 if split == "train" else 1)
@@ -56,6 +58,14 @@ class Dataset:
     # -- subclass API -------------------------------------------------------
     def _load(self) -> None:
         raise NotImplementedError
+
+    def _linearize(self) -> None:
+        """Train in linear radiance (Config.linear_color): decode the
+        sRGB-encoded pixels at load; ``eval.to_display`` re-encodes on the
+        way out. Subclasses with extra pixel stores extend this."""
+        from nerf_or_nothing_tpu.ops.math_utils import srgb_to_linear
+
+        self.images = np.asarray(srgb_to_linear(self.images), np.float32)
 
     # -- internals ----------------------------------------------------------
     def _flatten(self) -> None:

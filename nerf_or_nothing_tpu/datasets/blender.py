@@ -23,7 +23,12 @@ import os
 import numpy as np
 
 from nerf_or_nothing_tpu.datasets.base import Dataset
-from nerf_or_nothing_tpu.rays import Rays, generate_rays, pinhole_pix_to_cam
+from nerf_or_nothing_tpu.rays import (
+    Rays,
+    flatten_rays,
+    generate_rays,
+    pinhole_pix_to_cam,
+)
 
 
 def _load_image(path: str, factor: int = 0) -> np.ndarray:
@@ -62,6 +67,11 @@ class Blender(Dataset):
         n, h, w = self.images.shape[:3]
         camera_angle_x = float(meta["camera_angle_x"])
         self.focal = 0.5 * w / np.tan(0.5 * camera_angle_x)
+        # Orbit radius for the novel-view render path: the scene's own
+        # camera-distance scale.
+        self._pose_radius = float(np.mean(
+            [np.linalg.norm(c2w[:3, 3]) for c2w in cams]
+        ))
         pix_to_cam = pinhole_pix_to_cam(self.focal, w, h)
 
         per_image = [
@@ -72,3 +82,53 @@ class Blender(Dataset):
             np.stack([np.asarray(getattr(r, f)) for r in per_image])
             for f in Rays._fields
         ])
+
+    def render_path_rays(self, n_frames: int = 40, phi_deg: float = -30.0):
+        """Ray grids along a novel-view ORBIT around the object — the
+        ``Config.RenderPath`` capability the reference declares but never
+        implements (TrainState.cs:53; Dataset.cs:320-321 throws), realized
+        for inward-facing synthetic scenes: cameras on a circle of the
+        scene's own radius at elevation ``phi_deg``, all looking at the
+        origin (the canonical NeRF ``pose_spherical`` sweep). Returns
+        [(rays [H*W, C], (H, W)), ...] — the ``image_rays`` contract."""
+        h, w = self.images.shape[1:3]
+        pix_to_cam = pinhole_pix_to_cam(self.focal, w, h)
+        out = []
+        for theta in np.linspace(-180.0, 180.0, n_frames, endpoint=False):
+            c2w = orbit_pose(theta, phi_deg, self._pose_radius)
+            r = generate_rays(
+                pix_to_cam, c2w[:3], w, h, self.cfg.near, self.cfg.far
+            )
+            out.append((flatten_rays(r), (h, w)))
+        return out
+
+
+def orbit_pose(theta_deg: float, phi_deg: float, radius: float) -> np.ndarray:
+    """Camera-to-world matrix on an origin-centred orbit (OpenGL
+    convention, -z forward): start at distance ``radius`` on +z, pitch by
+    ``phi`` about x, yaw by ``theta`` about the world up axis."""
+    th = np.deg2rad(theta_deg)
+    ph = np.deg2rad(phi_deg)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[2, 3] = radius
+    rot_x = np.array(
+        [[1, 0, 0, 0],
+         [0, np.cos(ph), -np.sin(ph), 0],
+         [0, np.sin(ph), np.cos(ph), 0],
+         [0, 0, 0, 1]], np.float32,
+    )
+    rot_y = np.array(
+        [[np.cos(th), 0, -np.sin(th), 0],
+         [0, 1, 0, 0],
+         [np.sin(th), 0, np.cos(th), 0],
+         [0, 0, 0, 1]], np.float32,
+    )
+    # world axes: the Blender convention has z up — swap y/z and flip x so
+    # the orbit sweeps the azimuth around the scene's vertical axis.
+    flip = np.array(
+        [[-1, 0, 0, 0],
+         [0, 0, 1, 0],
+         [0, 1, 0, 0],
+         [0, 0, 0, 1]], np.float32,
+    )
+    return flip @ rot_y @ rot_x @ c2w

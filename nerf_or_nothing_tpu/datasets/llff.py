@@ -24,6 +24,7 @@ from nerf_or_nothing_tpu.datasets.blender import _load_image
 from nerf_or_nothing_tpu.rays import (
     Rays,
     convert_to_ndc,
+    flatten_rays,
     generate_rays,
     ndc_radii,
     pinhole_pix_to_cam,
@@ -278,9 +279,12 @@ class LLFF(Dataset):
         ])
 
     def render_path_rays(self):
-        """Ray grids along the novel-view path (spiral for forward-facing,
-        circle for spherified) — the RenderPath capability the reference
-        declares but throws on (Config.RenderPath, Dataset.cs:320-321)."""
+        """Flattened ray grids + dims along the novel-view path (spiral for
+        forward-facing, circle for spherified) — the RenderPath capability
+        the reference declares but throws on (Config.RenderPath,
+        Dataset.cs:320-321). Returns [(rays [H*W, C], (H, W)), ...] — the
+        ``image_rays`` contract, so ``run.render`` feeds frames to
+        ``render_image`` identically for path and test-split renders."""
         if self.render_poses is None:
             raise ValueError(
                 "no render path: set spherify or render_path in the config"
@@ -294,7 +298,7 @@ class LLFF(Dataset):
                 r = generate_rays(pix_to_cam, c2w[:3], w, h,
                                   float(self.rays.near.min()),
                                   float(self.rays.far.max()))
-                out.append(Rays(*[np.asarray(x) for x in r]))
+                out.append((flatten_rays(r), (h, w)))
             else:
                 r = generate_rays(pix_to_cam, c2w[:3], w, h, 0.0, 1.0)
                 origins, directions = convert_to_ndc(
@@ -303,7 +307,7 @@ class LLFF(Dataset):
                 )
                 radii = ndc_radii(origins)
                 ones = np.ones_like(radii)
-                out.append(Rays(
+                r = Rays(
                     origins.astype(np.float32),
                     directions.astype(np.float32),
                     np.asarray(r.viewdirs, np.float32),
@@ -311,5 +315,6 @@ class LLFF(Dataset):
                     (ones * 0.0).astype(np.float32),
                     (ones * 1.0).astype(np.float32),
                     ones.astype(np.float32),
-                ))
+                )
+                out.append((flatten_rays(r), (h, w)))
         return out

@@ -68,6 +68,16 @@ class Multicam(Dataset):
             )
             pixels.append(img.reshape(-1, 3))
             loss_mults.append(lm)
+        # Render-path intrinsics: the sharpest (largest) camera of the set.
+        i0 = int(np.argmax(np.asarray(meta["width"], np.float64)))
+        self._path_cam = (
+            np.asarray(meta["pix2cam"][i0], np.float32),
+            int(meta["height"][i0]), int(meta["width"][i0]),
+        )
+        self._pose_radius = float(np.mean([
+            np.linalg.norm(np.asarray(c, np.float32)[:3, 3])
+            for c in meta["cam2world"]
+        ]))
         self._set_flat(per_image_rays, pixels)
 
     # -- path B: synthesize the pyramid from transforms_{split}.json --------
@@ -104,9 +114,45 @@ class Multicam(Dataset):
                     )
                 )
                 pixels.append(img.reshape(-1, 3))
+        h0, w0 = per_image_rays[0].radii.shape[:2]
+        focal0 = 0.5 * w0 / np.tan(0.5 * camera_angle_x)
+        self._path_cam = (pinhole_pix_to_cam(focal0, w0, h0), h0, w0)
+        self._pose_radius = float(np.mean([
+            np.linalg.norm(
+                np.asarray(f["transform_matrix"], np.float32)[:3, 3]
+            )
+            for f in meta["frames"]
+        ]))
         self._set_flat(per_image_rays, pixels)
 
+    def render_path_rays(self, n_frames: int = 40, phi_deg: float = -30.0):
+        """Novel-view orbit at the set's sharpest-camera intrinsics
+        (Config.RenderPath for the multiscale loader; same sweep as
+        ``Blender.render_path_rays``). Returns [(rays [H*W, C], (H, W)),
+        ...] — the ``image_rays`` contract."""
+        from nerf_or_nothing_tpu.datasets.blender import orbit_pose
+        from nerf_or_nothing_tpu.rays import flatten_rays
+
+        pix_to_cam, h, w = self._path_cam
+        out = []
+        for theta in np.linspace(-180.0, 180.0, n_frames, endpoint=False):
+            c2w = orbit_pose(theta, phi_deg, self._pose_radius)
+            r = generate_rays(
+                pix_to_cam, c2w[:3], w, h, self.cfg.near, self.cfg.far
+            )
+            out.append((flatten_rays(r), (h, w)))
+        return out
+
     # -- shared -------------------------------------------------------------
+    def _linearize(self) -> None:
+        super()._linearize()
+        from nerf_or_nothing_tpu.ops.math_utils import srgb_to_linear
+
+        self._per_image_pixels = [
+            np.asarray(srgb_to_linear(p), np.float32)
+            for p in self._per_image_pixels
+        ]
+
     def _set_flat(self, per_image_rays, pixels) -> None:
         # Mixed resolutions -> flatten each image's grid before stacking.
         flat = [

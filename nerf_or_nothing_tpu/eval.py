@@ -20,9 +20,23 @@ from nerf_or_nothing_tpu.models import mipnerf
 from nerf_or_nothing_tpu.ops.math_utils import (
     compute_avg_error,
     compute_ssim,
+    linear_to_srgb,
     mse_to_psnr,
 )
 from nerf_or_nothing_tpu.rays import Rays
+
+
+def to_display(cfg: Config, img: np.ndarray) -> np.ndarray:
+    """Model/dataset color -> display space.
+
+    With ``cfg.linear_color`` the model trains on linearized pixels
+    (srgb_to_linear at dataset load), so rendered radiance AND stored
+    ground truth are re-encoded with the reference's ``linear_to_srgb``
+    (MipHelpers.cs:755-757) before metrics or PNG export. Identity
+    otherwise."""
+    if cfg.linear_color:
+        return np.asarray(linear_to_srgb(jnp.asarray(img)))
+    return np.asarray(img)
 
 
 def make_render_fn(cfg: Config, mlp_apply=None, mesh=None):
@@ -160,7 +174,10 @@ def evaluate_dataset(
         rgb, _, _ = render_image(
             render_fn, params, rays, h, w, cfg.render_chunk_size, mesh=mesh
         )
-        metrics.append(evaluate_image(rgb, np.asarray(gt).reshape(h, w, 3)))
+        metrics.append(evaluate_image(
+            to_display(cfg, rgb),
+            to_display(cfg, np.asarray(gt).reshape(h, w, 3)),
+        ))
     return {
         k: float(np.mean([m[k] for m in metrics])) for k in metrics[0]
     }

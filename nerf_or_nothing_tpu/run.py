@@ -22,7 +22,12 @@ import numpy as np
 from nerf_or_nothing_tpu import checkpoint as ckpt_lib
 from nerf_or_nothing_tpu.config import Config, parse_flags
 from nerf_or_nothing_tpu.datasets.base import create_dataset
-from nerf_or_nothing_tpu.eval import evaluate_dataset, make_render_fn, render_image
+from nerf_or_nothing_tpu.eval import (
+    evaluate_dataset,
+    make_render_fn,
+    render_image,
+    to_display,
+)
 from nerf_or_nothing_tpu.metrics import MetricsLogger
 from nerf_or_nothing_tpu.parallel import mesh as mesh_lib
 from nerf_or_nothing_tpu.rays import Rays
@@ -196,7 +201,10 @@ def train(cfg: Config, log_dir: Optional[str] = None) -> TrainState:
                     )
                     from nerf_or_nothing_tpu.eval import evaluate_image
 
-                    m = evaluate_image(rgb, np.asarray(tgt).reshape(th, tw, 3))
+                    m = evaluate_image(
+                        to_display(cfg, rgb),
+                        to_display(cfg, np.asarray(tgt).reshape(th, tw, 3)),
+                    )
                     print(f"step {step:>7d}  test view 0: "
                           f"psnr {m['psnr']:.2f} ssim {m['ssim']:.3f}",
                           flush=True)
@@ -258,10 +266,11 @@ def render(cfg: Config, out_dir: str, max_images: Optional[int] = None):
         render_fn = make_render_fn(cfg, mesh=mesh)
         os.makedirs(out_dir, exist_ok=True)
         if cfg.render_path and hasattr(dataset, "render_path_rays"):
+            # [(flat rays, (h, w)), ...] — the image_rays contract.
             ray_list = dataset.render_path_rays()
             if max_images is not None:
                 ray_list = ray_list[:max_images]
-            frames = enumerate(ray_list)
+            frames = ((i, r, dims) for i, (r, dims) in enumerate(ray_list))
         else:
             n = dataset.num_images if max_images is None else min(
                 max_images, dataset.num_images
@@ -270,19 +279,13 @@ def render(cfg: Config, out_dir: str, max_images: Optional[int] = None):
                 (i, dataset.image_rays(i)[0], dataset.image_dims(i))
                 for i in range(n)
             )
-        for frame in frames:
-            # Path renders use the dataset's representative dims; test-split
-            # renders carry per-image dims (Multicam mixes resolutions).
-            if len(frame) == 2:
-                i, rays = frame
-                h, w = dataset.height, dataset.width
-            else:
-                i, rays, (h, w) = frame
+        for i, rays, (h, w) in frames:
             rgb, dist, acc = render_image(
                 render_fn, state.params,
                 Rays(*[jnp.asarray(x) for x in rays]),
                 h, w, cfg.render_chunk_size, mesh=mesh,
             )
+            rgb = to_display(cfg, rgb)
             img = (np.clip(rgb, 0, 1) * 255).astype(np.uint8)
             Image.fromarray(img).save(os.path.join(out_dir, f"render_{i:03d}.png"))
             print(f"wrote render_{i:03d}.png")

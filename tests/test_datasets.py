@@ -261,7 +261,9 @@ def test_llff_spherify(llff_dir):
     assert float(ds.rays.near[0, 0, 0, 0]) > 0.0
     path = ds.render_path_rays()
     assert len(path) == 120
-    assert path[0].origins.shape == ds.rays.origins.shape[1:]
+    rays0, (h, w) = path[0]
+    assert (h, w) == ds.rays.origins.shape[1:3]
+    assert rays0.origins.shape == (h * w, 3)
 
 
 def test_llff_spiral_render_path(llff_dir):
@@ -304,3 +306,43 @@ def test_dataset_context_manager(blender_dir):
         assert pixels.shape == (8, 3)
         worker = ds._thread
     assert worker is None or not worker.is_alive()
+
+
+def test_linear_color_linearizes_images(blender_dir):
+    """Config.linear_color decodes sRGB pixels at load; linear_to_srgb of
+    the stored images reproduces the original PNG values."""
+    import jax.numpy as jnp
+
+    from nerf_or_nothing_tpu.ops.math_utils import linear_to_srgb
+
+    base = Config(dataset_loader=DatasetType.BLENDER, data_dir=blender_dir,
+                  batch_size=8)
+    ds_display = create_dataset("train", blender_dir, base)
+    ds_linear = create_dataset(
+        "train", blender_dir, base.replace(linear_color=True)
+    )
+    np.testing.assert_allclose(
+        np.asarray(linear_to_srgb(jnp.asarray(ds_linear.images))),
+        ds_display.images, atol=1e-5,
+    )
+    # linear values are <= their sRGB encoding on [0, 1]
+    assert np.all(ds_linear.images <= ds_display.images + 1e-6)
+
+
+def test_blender_orbit_path_geometry(blender_dir):
+    """Orbit render path: flat rays at image dims, cameras on a circle of
+    the scene's pose radius, all looking at the origin."""
+    cfg = Config(dataset_loader=DatasetType.BLENDER, data_dir=blender_dir,
+                 batch_size=8, render_path=True)
+    ds = create_dataset("test", blender_dir, cfg)
+    frames = ds.render_path_rays(n_frames=8)
+    assert len(frames) == 8
+    rays, (h, w) = frames[0]
+    assert rays.origins.shape == (h * w, 3)
+    for rays, _ in frames:
+        o = rays.origins[0]
+        assert np.linalg.norm(o) == pytest.approx(ds._pose_radius, rel=1e-4)
+        # the central ray points at the origin
+        center = rays.viewdirs[(h // 2) * w + w // 2]
+        to_origin = -o / np.linalg.norm(o)
+        assert float(np.dot(center, to_origin)) > 0.99

@@ -147,3 +147,64 @@ def test_cli_train_steps_per_call_matches_per_step(scene, tmp_path):
         np.testing.assert_allclose(
             np.asarray(w1), np.asarray(w2), rtol=1e-6, atol=1e-7
         )
+
+
+def test_cli_render_blender_orbit(scene, tmp_path):
+    """--render-path on a Blender (inward-facing) scene renders the orbit
+    path — Config.RenderPath now works on all three camera loaders
+    (VERDICT r3 #7)."""
+    from nerf_or_nothing_tpu.run import main
+
+    out = str(tmp_path / "orbit")
+    args = [
+        f"--data-dir={scene}", "--dataset-loader=blender",
+        "--batch-size=16", "--num-samples=8", "--net-depth=2",
+        "--net-width=16", "--net-width-condition=8", "--max-deg-point=4",
+        "--num-levels=1", "--render-chunk-size=32", "--use-pallas=false",
+        "--render-path=true", f"--out={out}", "--max-images=2",
+    ]
+    assert main(["render", *args]) == 0
+    pngs = sorted(os.listdir(out))
+    assert pngs == ["render_000.png", "render_001.png"]
+    from PIL import Image
+
+    img = np.asarray(Image.open(os.path.join(out, pngs[0])))
+    assert img.shape == (8, 8, 3)
+
+
+def test_cli_render_multicam_orbit(scene, tmp_path):
+    from nerf_or_nothing_tpu.run import main
+
+    out = str(tmp_path / "mc_orbit")
+    args = [
+        f"--data-dir={scene}", "--dataset-loader=multicam",
+        "--batch-size=16", "--num-samples=8", "--net-depth=2",
+        "--net-width=16", "--net-width-condition=8", "--max-deg-point=4",
+        "--num-levels=1", "--render-chunk-size=32", "--use-pallas=false",
+        "--render-path=true", f"--out={out}", "--max-images=1",
+    ]
+    assert main(["render", *args]) == 0
+    assert os.listdir(out) == ["render_000.png"]
+
+
+def test_cli_linear_color_pipeline(scene, tmp_path):
+    """--linear-color trains on linearized pixels and re-encodes renders
+    with linear_to_srgb (the reference's defined-but-dead transfer
+    functions, MipHelpers.cs:738-757, as a working pipeline)."""
+    from nerf_or_nothing_tpu.run import main
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "renders")
+    args = [
+        f"--data-dir={scene}", "--dataset-loader=blender",
+        "--batch-size=16", "--num-samples=8", "--net-depth=2",
+        "--net-width=16", "--net-width-condition=8", "--max-deg-point=4",
+        "--num-levels=1", "--max-steps=3", "--print-every=2",
+        "--save-every=3", f"--checkpoint-dir={ckpt}",
+        "--render-chunk-size=32", "--use-pallas=false",
+        "--linear-color=true",
+    ]
+    assert main(["train", *args]) == 0
+    assert main(["eval", *args]) == 0
+    assert main(["render", *args, f"--out={out}"]) == 0
+    assert sorted(os.listdir(out)) == ["render_000.png", "render_001.png"]
