@@ -59,6 +59,8 @@ from nerf_or_nothing_tpu.kernels.fused_mlp import (
     _forward_chunks,
     _interpret,
     _make_acc,
+    _mm,
+    _mm_tn,
     _pad_rows,
     _split_rows,
     _weight_specs,
@@ -332,6 +334,158 @@ def _level_kernel(cfg: Config, dt, s: int, white_bkgd: bool, interleave: int,
     wts_ref[...] = wts
 
 
+def _level_kernel_twopass(cfg: Config, dt, s: int, white_bkgd: bool,
+                          interleave: int, *refs):
+    """Two-pass whole-level train kernel: grid (n_tiles, 2).
+
+    Phase 0 (program_id(1)==0): MLP forward + composite + loss grad +
+    the full g-CHAIN — each layer's masked gradient is parked in VMEM
+    scratch (persistent across grid steps) and the per-layer db is
+    accumulated (tiny VPU reduction on the f32 g). NO dW matmuls issue in
+    this phase, so the dependent chain runs without competing for the MXU.
+
+    Phase 1 (program_id(1)==1): pure dW pass — one whole-tile
+    (K = tile-rows) matmul per weight matrix from the scratch-stored
+    activations and gradients, accumulated across tiles. All matmuls in
+    this phase are mutually independent, so the MXU pipelines them
+    back-to-back with no chain stalls.
+
+    This is the "true two-pass structure" attack on the measured
+    ~0.53 ms/level dW<->g-chain scheduling interaction (docs/PERF.md
+    "kernel-internal decomposition"): the r4 probes showed trace-order
+    phasing (fm_bwd=phased) and accumulator bandwidth (fm_bwd=bf16acc)
+    are NOT the cause, leaving Mosaic's mixed-family schedule — which
+    grid-level phase separation removes by construction.
+    """
+    D, Dc = cfg.net_depth, cfg.net_depth_condition
+    skip = cfg.skip_layer
+    n_layers = len(layer_dims(cfg))
+    x_ref, d_ref, delta_ref, pix_ref, gsc_ref = refs[:5]
+    rest = refs[5:]
+    w_refs = rest[:n_layers]
+    b_refs = rest[n_layers : 2 * n_layers]
+    out = rest[2 * n_layers : 4 * n_layers + 3]
+    dw_refs = out[:n_layers]
+    db_refs = out[n_layers : 2 * n_layers]
+    comp_ref, acc_ref, wts_ref = out[2 * n_layers : 2 * n_layers + 3]
+    scr = rest[4 * n_layers + 3 :]
+    hs_scr = scr[:D]
+    vs_scr = scr[D : D + Dc]
+    gt_scr = scr[D + Dc : 2 * D + Dc]
+    gv_scr = scr[2 * D + Dc : 2 * D + 2 * Dc]
+    grgb_scr, gden_scr, gray_scr = scr[2 * D + 2 * Dc :]
+
+    phase = pl.program_id(1)
+    acc = _make_acc()
+    tile = x_ref.shape[1]
+    chunk = tile // interleave
+    rays_chunk = chunk // s
+
+    def db_f32(gs):
+        return sum(
+            jnp.sum(g, axis=0, keepdims=True, dtype=jnp.float32) for g in gs
+        )
+
+    @pl.when(phase == 0)
+    def _phase_chain():
+        ws = [w[...] for w in w_refs]
+        bs = [b[...] for b in b_refs]
+        x_t = x_ref[...]
+        xs = [
+            x_t[:, i * chunk : (i + 1) * chunk] for i in range(interleave)
+        ]
+        ds = _split_rows(d_ref[...], interleave)
+
+        raw_rgbs, raw_dens, hs, vs = _forward_chunks(
+            cfg, dt, s, xs, ds, ws, bs, x_t=True
+        )
+        # park activations for the dW pass
+        for c in range(interleave):
+            r0 = c * chunk
+            for i in range(D):
+                hs_scr[i][r0 : r0 + chunk, :] = hs[c][i].astype(dt)
+            for j in range(Dc):
+                vs_scr[j][r0 : r0 + chunk, :] = vs[c][j].astype(dt)
+
+        comp, acc_out, wts, g_rgb, g_den = _composite_chunk(
+            cfg, white_bkgd, s, jnp.concatenate(raw_rgbs, axis=0),
+            jnp.concatenate(raw_dens, axis=0), delta_ref[...],
+            pix_ref[...], gsc_ref[...],
+        )
+        grgb_scr[...] = g_rgb
+        gden_scr[...] = g_den
+        i_rgb = D + 1 + Dc
+        g_rgbs = _split_rows(g_rgb, interleave)
+        g_dens = _split_rows(g_den, interleave)
+        acc(db_refs[i_rgb], db_f32(g_rgbs))
+        acc(db_refs[D], db_f32(g_dens))
+
+        def g_store(site, gs, g_ray=None):
+            kind, idx = site
+            tgt = gt_scr[idx] if kind == "trunk" else gv_scr[idx]
+            for c in range(interleave):
+                r0 = c * chunk
+                tgt[r0 : r0 + chunk, :] = gs[c].astype(dt)
+            if g_ray is not None:
+                for c in range(interleave):
+                    r0 = c * rays_chunk
+                    gray_scr[r0 : r0 + rays_chunk, :] = (
+                        g_ray[c].astype(dt)
+                    )
+            layer = idx if kind == "trunk" else D + 1 + idx
+            acc(db_refs[layer], db_f32(gs))
+
+        _backward_chunks(
+            cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens,
+            acc, dw_refs, db_refs,
+            want_dx=False, want_dd=False, acts=(hs, vs), x_t=True,
+            do_dw=False, g_store=g_store,
+        )
+        comp_ref[...] = comp
+        acc_ref[...] = acc_out
+        wts_ref[...] = wts
+
+    @pl.when(phase == 1)
+    def _phase_dw():
+        i_rgb = D + 1 + Dc
+        x_t = x_ref[...]
+        h_last = hs_scr[D - 1][...]
+        # heads
+        acc(dw_refs[i_rgb], _mm_tn(vs_scr[Dc - 1][...], grgb_scr[...], dt))
+        acc(dw_refs[D], _mm_tn(h_last, gden_scr[...], dt))
+        # view branch
+        for j in range(Dc - 1, -1, -1):
+            gj = gv_scr[j][...]
+            if j == 0:
+                acc(
+                    dw_refs[D + 1],
+                    jnp.concatenate(
+                        [_mm_tn(h_last, gj, dt),
+                         _mm_tn(d_ref[...], gray_scr[...], dt)],
+                        axis=0,
+                    ),
+                )
+            else:
+                acc(dw_refs[D + 1 + j],
+                    _mm_tn(vs_scr[j - 1][...], gj, dt))
+        # trunk
+        for i in range(D - 1, -1, -1):
+            gi = gt_scr[i][...]
+            if i == 0:
+                acc(dw_refs[0], _mm(x_t, gi, dt))
+            elif i % skip == 0:
+                acc(
+                    dw_refs[i],
+                    jnp.concatenate(
+                        [_mm_tn(hs_scr[i - 1][...], gi, dt),
+                         _mm(x_t, gi, dt)],
+                        axis=0,
+                    ),
+                )
+            else:
+                acc(dw_refs[i], _mm_tn(hs_scr[i - 1][...], gi, dt))
+
+
 def _render_kernel(cfg: Config, dt, s: int, white_bkgd: bool,
                    interleave: int, fuse_ipe: bool, *refs):
     """Forward-only whole level: MLP + activations + compositing, one
@@ -408,14 +562,14 @@ def _fused_render_impl(params, xs_in, d, delta, *, cfg: Config, tile: int,
         params = _permute_ipe_weights(params, cfg)
         xp = [_pad_cols(a, tile) for a in xs_in]
         x_specs = [
-            pl.BlockSpec((3, tile), lambda i: (0, i),
+            pl.BlockSpec((3, tile), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM)
             for _ in range(2)
         ]
     else:
         xp = [_pad_cols(xs_in, tile)]
         x_specs = [
-            pl.BlockSpec((xs_in.shape[0], tile), lambda i: (0, i),
+            pl.BlockSpec((xs_in.shape[0], tile), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM)
         ]
     rays_tile = tile // s
@@ -512,11 +666,12 @@ def fused_level_render(params: Params, cfg: Config, x_enc,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "tile", "s", "white_bkgd", "interleave",
-                     "fuse_ipe"),
+                     "fuse_ipe", "twopass"),
 )
 def _fused_level_impl(params, xs_in, d, delta, pixels, g_scale, *,
                       cfg: Config, tile: int, s: int, white_bkgd: bool,
-                      interleave: int, fuse_ipe: bool = False):
+                      interleave: int, fuse_ipe: bool = False,
+                      twopass: bool = False):
     # xs_in: the [F, N] TRANSPOSED feature tensor, or (mT, vT) [3, N]
     # sample mean/variance pairs when the IPE runs in-kernel.
     n = (xs_in[0] if fuse_ipe else xs_in).shape[1]
@@ -528,7 +683,7 @@ def _fused_level_impl(params, xs_in, d, delta, pixels, g_scale, *,
         params_in = _permute_ipe_weights(params, cfg)
         xp = [_pad_cols(a, tile) for a in xs_in]
         x_specs = [
-            pl.BlockSpec((3, tile), lambda i: (0, i),
+            pl.BlockSpec((3, tile), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM)
             for _ in range(2)
         ]
@@ -536,7 +691,7 @@ def _fused_level_impl(params, xs_in, d, delta, pixels, g_scale, *,
         params_in = params
         xp = [_pad_cols(xs_in, tile)]
         x_specs = [
-            pl.BlockSpec((xs_in.shape[0], tile), lambda i: (0, i),
+            pl.BlockSpec((xs_in.shape[0], tile), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM)
         ]
     rays_tile = tile // s
@@ -548,10 +703,13 @@ def _fused_level_impl(params, xs_in, d, delta, pixels, g_scale, *,
     gscp = _pad_rows(g_scale, rays_tile)
     n_pad = xp[0].shape[1]
     r_pad = n_pad // s
-    grid = (n_pad // tile,)
+    # twopass: (tile, phase) grid — phase 0 = fwd+composite+chain,
+    # phase 1 = whole-tile dW matmuls from VMEM scratch. Index maps are
+    # written variadic so the same specs serve both grid ranks.
+    grid = (n_pad // tile, 2) if twopass else (n_pad // tile,)
 
     def ray_spec(cols):
-        return pl.BlockSpec((rays_tile, cols), lambda i: (i, 0),
+        return pl.BlockSpec((rays_tile, cols), lambda i, *_: (i, 0),
                             memory_space=pltpu.VMEM)
 
     in_specs = [
@@ -563,9 +721,11 @@ def _fused_level_impl(params, xs_in, d, delta, pixels, g_scale, *,
         *w_specs,
         *b_specs,
     ]
+    acc_dt = (jnp.bfloat16 if cfg.probe("fm_bwd") == "bf16acc"
+              else jnp.float32)
     out_specs = [*w_specs, *b_specs, ray_spec(3), ray_spec(1), ray_spec(s)]
     out_shape = (
-        [jax.ShapeDtypeStruct((i, o), jnp.float32) for i, o in dims]
+        [jax.ShapeDtypeStruct((i, o), acc_dt) for i, o in dims]
         + [jax.ShapeDtypeStruct((1, o), jnp.float32) for _, o in dims]
         + [
             jax.ShapeDtypeStruct((r_pad, 3), jnp.float32),
@@ -573,14 +733,36 @@ def _fused_level_impl(params, xs_in, d, delta, pixels, g_scale, *,
             jax.ShapeDtypeStruct((r_pad, s), jnp.float32),
         ]
     )
+    if twopass:
+        D, Dc = cfg.net_depth, cfg.net_depth_condition
+        nw, nwc = cfg.net_width, cfg.net_width_condition
+        scratch_shapes = (
+            [pltpu.VMEM((tile, nw), dt) for _ in range(D)]       # hs
+            + [pltpu.VMEM((tile, nwc), dt) for _ in range(Dc)]   # vs
+            + [pltpu.VMEM((tile, nw), dt) for _ in range(D)]     # g trunk
+            + [pltpu.VMEM((tile, nwc), dt) for _ in range(Dc)]   # g view
+            + [
+                pltpu.VMEM((tile, cfg.num_rgb_channels), jnp.float32),
+                pltpu.VMEM((tile, cfg.num_density_channels), jnp.float32),
+                pltpu.VMEM((rays_tile, nwc), dt),                # g_ray
+            ]
+        )
+        kernel = functools.partial(
+            _level_kernel_twopass, cfg, dt, s, white_bkgd, interleave
+        )
+    else:
+        scratch_shapes = ()
+        kernel = functools.partial(
+            _level_kernel, cfg, dt, s, white_bkgd, interleave, fuse_ipe
+        )
     flops_rows = 3 * 2 * sum(i * o for i, o in dims)
     outs = pl.pallas_call(
-        functools.partial(_level_kernel, cfg, dt, s, white_bkgd, interleave,
-                          fuse_ipe),
+        kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         cost_estimate=pl.CostEstimate(
             flops=flops_rows * n_pad,
             bytes_accessed=n_pad * (cfg.location_features + 16) * 4,
@@ -670,8 +852,13 @@ def fused_level_train(params: Params, cfg: Config, x_enc,
     interleave = pick_interleave(
         int(cfg.probe("fl_il", "0")) or DEFAULT_INTERLEAVE_BWD, tile
     )
+    # Two-pass backward (chain phase / dW phase over a (tile, 2) grid,
+    # see _level_kernel_twopass). Opt-in via fl_variant=twopass while
+    # under measurement; requires the out-of-kernel IPE path.
+    twopass = cfg.probe("fl_variant") == "twopass" and not fuse_ipe
     return _fused_level_impl(
         params, xs_in, d2d, delta, pixels.astype(jnp.float32),
         g_scale.astype(jnp.float32), cfg=cfg, tile=tile, s=s,
         white_bkgd=white_bkgd, interleave=interleave, fuse_ipe=fuse_ipe,
+        twopass=twopass,
     )

@@ -157,6 +157,22 @@ def _forward_chunks(cfg: Config, dt, s: int, xs, ds, ws, bs, x_t=False):
     def epilogue(z, b):
         return jnp.maximum(z + b, 0.0).astype(dt)
 
+    # fm_heads=t (perf probe): evaluate the narrow heads as TRANSPOSED
+    # matmuls — W^T [out, in] @ h^T [in, rows] with out = 1 or 3 on the
+    # sublane axis — instead of [rows, in] @ [in, out] with out padded to
+    # 128 lanes (~8% of fwd padded FLOPs, docs/PERF.md "head padding").
+    heads_t = cfg.probe("fm_heads") == "t"
+
+    def head(h, w, b):
+        if heads_t:
+            zt = jax.lax.dot_general(
+                w.astype(dt), h,
+                dimension_numbers=(((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [out, rows]
+            return zt.T + b
+        return _mm(h, w, dt) + b
+
     hs: List[List[Any]] = [[] for _ in range(C)]
     hcur = [None] * C
     for i in range(D):
@@ -173,7 +189,7 @@ def _forward_chunks(cfg: Config, dt, s: int, xs, ds, ws, bs, x_t=False):
             hcur[c] = epilogue(z, b)
             hs[c].append(hcur[c])
 
-    raw_density = [_mm(hcur[c], ws[D], dt) + bs[D] for c in range(C)]
+    raw_density = [head(hcur[c], ws[D], bs[D]) for c in range(C)]
 
     hv = list(hcur)
     vs: List[List[Any]] = [[] for _ in range(C)]
@@ -194,7 +210,7 @@ def _forward_chunks(cfg: Config, dt, s: int, xs, ds, ws, bs, x_t=False):
             hv[c] = epilogue(z, b)
             vs[c].append(hv[c])
 
-    raw_rgb = [_mm(hv[c], ws[D + 1 + Dc], dt) + bs[D + 1 + Dc]
+    raw_rgb = [head(hv[c], ws[D + 1 + Dc], bs[D + 1 + Dc])
                for c in range(C)]
     return raw_rgb, raw_density, hs, vs
 
@@ -232,6 +248,10 @@ def _make_acc():
     is_first = pl.program_id(0) == 0
 
     def acc(ref, val):
+        # cast to the accumulator dtype (f32; bf16 under the fm_bwd=bf16acc
+        # attribution probe) before the read-modify-write
+        val = val.astype(ref.dtype)
+
         @pl.when(is_first)
         def _():
             ref[...] = val
@@ -245,7 +265,7 @@ def _make_acc():
 
 def _backward_chunks(cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens, acc,
                      dw_refs, db_refs, want_dx=True, want_dd=True,
-                     acts=None, x_t=False):
+                     acts=None, x_t=False, do_dw=True, g_store=None):
     """Recompute-forward + full reverse pass over a LIST of independent row
     chunks; returns (list of g_x or None, list of per-ray g_d or None).
 
@@ -287,23 +307,37 @@ def _backward_chunks(cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens, acc,
     # read from cfg.kernel_probes (benchmarks/profile_step.py --probes):
     # fm_bwd=nodw replaces the dW/db matmul family with shape-matched
     # fillers; fm_bwd=nogchain breaks the g-chain instead; fm_bwd=phased
-    # issues the ENTIRE g-chain first and all dW/db matmuls afterwards
-    # (probing the dW<->g-chain scheduling interaction). Inert unless set.
+    # issues the ENTIRE g-chain first and all dW/db matmuls afterwards;
+    # fm_bwd=phasedbar additionally puts a lax.optimization_barrier between
+    # the phases (every dW operand artificially depends on the WHOLE
+    # chain, so no scheduler may interleave the families); fm_bwd=bf16acc
+    # accumulates dW in bf16 (halved accumulator read-modify-write traffic
+    # — attribution only, numerics are off). Inert unless set.
     _probe = cfg.probe("fm_bwd")
 
-    # In phased mode the dW/db accumulations are recorded as thunks during
-    # the chain walk (every operand default-bound at emit time — a later
-    # rebinding of the free variable must not change a recorded thunk) and
-    # traced only after the whole g-chain has been emitted, so Mosaic sees
-    # two disjoint phases: a pure dependent chain, then a burst of
+    # In the phased modes the dW/db accumulations are recorded as
+    # (fn, operands) pairs during the chain walk — operands captured
+    # explicitly at emit time, never as free closure variables — and
+    # traced only after the whole g-chain has been emitted, so the trace
+    # shows two disjoint phases: a pure dependent chain, then a burst of
     # independent accumulations.
     _deferred: List[Any] = []
 
-    def emit(thunk):
-        if _probe == "phased":
-            _deferred.append(thunk)
+    def emit(fn, *ops):
+        # do_dw=False: the caller runs the dW/db family in a LATER grid
+        # phase from scratch-stored gradients (two-pass backward,
+        # fused_level._level_kernel_twopass); this walk only drives the
+        # chain and hands each layer's masked g to ``g_store``.
+        if not do_dw:
+            return
+        if _probe in ("phased", "phasedbar"):
+            _deferred.append((fn, ops))
         else:
-            thunk()
+            fn(*ops)
+
+    def store(site, gs, g_ray=None):
+        if g_store is not None:
+            g_store(site, gs, g_ray)
 
     def db(gs):
         # bias grads reduce over up to thousands of rows: accumulate f32
@@ -327,6 +361,35 @@ def _backward_chunks(cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens, acc,
 
     def _s(v):
         return sum(v) if isinstance(v, list) else v
+
+    # fm_heads=t (perf probe, see _forward_chunks): narrow-head backward
+    # without 128-lane padding — dW as a transposed M=out matmul, the
+    # chain contribution as out<=3 VPU outer products (broadcast multiply-
+    # adds that run under the MXU's shadow instead of K-padded matmuls).
+    heads_t = cfg.probe("fm_heads") == "t"
+
+    def dw_head(h_ins, gs):
+        if not heads_t or _probe in ("nodw", "accper"):
+            return dw(h_ins, gs)
+        return sum(_mm_tn(gs[c], h_ins[c], dt) for c in R).T
+
+    def head_chain_terms(gs, w):
+        # [rows, out] x [in, out] -> [rows, in] as out outer products
+        out = []
+        for c in R:
+            rows, nw_in = gs[c].shape[0], w.shape[0]
+            acc_v = None
+            for k in range(w.shape[1]):
+                a = jnp.broadcast_to(
+                    gs[c][:, k : k + 1].astype(jnp.float32), (rows, nw_in)
+                )
+                b = jnp.broadcast_to(
+                    w[:, k : k + 1].T.astype(jnp.float32), (rows, nw_in)
+                )
+                t = a * b
+                acc_v = t if acc_v is None else acc_v + t
+            out.append(acc_v.astype(dt))
+        return out
 
     def acc_dw(ref, val):
         # fm_bwd=accper: feed each chunk's dW product to the accumulator as
@@ -374,12 +437,15 @@ def _backward_chunks(cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens, acc,
     # accumulator - issue order biases Mosaic's scheduler toward keeping
     # the chain moving with the accumulation behind it.
     g_next = chain(
-        lambda: [_mm_nt(g_rgbs[c], ws[i_rgb], dt).astype(dt) for c in R],
+        lambda: (
+            head_chain_terms(g_rgbs, ws[i_rgb]) if heads_t
+            else [_mm_nt(g_rgbs[c], ws[i_rgb], dt).astype(dt) for c in R]
+        ),
         [vs[c][-1] for c in R],
     )
     _h_rgb = [vs[c][-1] for c in R]
-    emit(lambda h=_h_rgb, g=g_rgbs, i=i_rgb: acc_dw(dw_refs[i], dw(h, g)))
-    emit(lambda g=g_rgbs, i=i_rgb: acc(db_refs[i], db(g)))
+    emit(lambda h, g: acc_dw(dw_refs[i_rgb], dw_head(h, g)), _h_rgb, g_rgbs)
+    emit(lambda g: acc(db_refs[i_rgb], db(g)), g_rgbs)
     g = g_next
 
     # ---- view branch reversed ----
@@ -403,17 +469,21 @@ def _backward_chunks(cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens, acc,
                 ]
             else:
                 g_ray = g
-            emit(lambda g=g, g_ray=g_ray, h_in=h_in, i=i: acc(
-                dw_refs[i],
-                jnp.concatenate(
-                    [_s(dw(h_in, g)),
-                     _dummy((ds[0].shape[1], g_ray[0].shape[1]), g_ray)
-                     if _probe == "nodw" else
-                     sum(_mm_tn(ds[c], g_ray[c], dt) for c in R)],
-                    axis=0,
+            store(("view", j), g, g_ray)
+            emit(
+                lambda g, g_ray, h_in, i=i: acc(
+                    dw_refs[i],
+                    jnp.concatenate(
+                        [_s(dw(h_in, g)),
+                         _dummy((ds[0].shape[1], g_ray[0].shape[1]), g_ray)
+                         if _probe == "nodw" else
+                         sum(_mm_tn(ds[c], g_ray[c], dt) for c in R)],
+                        axis=0,
+                    ),
                 ),
-            ))
-            emit(lambda g=g, i=i: acc(db_refs[i], db(g)))
+                g, g_ray, h_in,
+            )
+            emit(lambda g, i=i: acc(db_refs[i], db(g)), g)
             if want_dd:
                 g_d = [_mm_nt(g_ray[c], ws[i][nw:, :], dt) for c in R]
             g = chain(
@@ -422,28 +492,38 @@ def _backward_chunks(cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens, acc,
                 [hs[c][-1] for c in R],
             )
         else:
+            store(("view", j), g)
             g_next = chain(
                 lambda: [_mm_nt(g[c], ws[i], dt).astype(dt) for c in R],
                 [vs[c][j - 1] for c in R],
             )
-            emit(lambda g=g, h_in=h_in, i=i: acc_dw(dw_refs[i],
-                                                    dw(h_in, g)))
-            emit(lambda g=g, i=i: acc(db_refs[i], db(g)))
+            emit(lambda g, h_in, i=i: acc_dw(dw_refs[i], dw(h_in, g)),
+                 g, h_in)
+            emit(lambda g, i=i: acc(db_refs[i], db(g)), g)
             g = g_next
 
     # ---- density head joins the trunk gradient (MLP.cs:148-153) ----
     _h_den = [hs[c][-1] for c in R]
-    emit(lambda h=_h_den, g=g_dens: acc_dw(dw_refs[D], dw(h, g)))
-    emit(lambda g=g_dens: acc(db_refs[D], db(g)))
-    g = chain(
-        lambda: [g[c] + _mm_nt(g_dens[c], ws[D], dt).astype(dt) for c in R],
-        [hs[c][-1] for c in R],
-    )
+    emit(lambda h, g: acc_dw(dw_refs[D], dw_head(h, g)), _h_den, g_dens)
+    emit(lambda g: acc(db_refs[D], db(g)), g_dens)
+    if heads_t:
+        _den_terms = head_chain_terms(g_dens, ws[D])
+        g = chain(
+            lambda: [g[c] + _den_terms[c] for c in R],
+            [hs[c][-1] for c in R],
+        )
+    else:
+        g = chain(
+            lambda: [g[c] + _mm_nt(g_dens[c], ws[D], dt).astype(dt)
+                     for c in R],
+            [hs[c][-1] for c in R],
+        )
 
     # ---- trunk reversed ----
     g_x = [jnp.zeros_like(xs[c]) for c in R] if want_dx else [None] * C
     for i in range(D - 1, -1, -1):
         g = [g[c] * (hs[c][i].astype(jnp.float32) > 0.0) for c in R]
+        store(("trunk", i), g)
         h_in = [hs[c][i - 1] if i > 0 else None for c in R]
         if i % skip == 0 and i > 0:
             g_next = chain(
@@ -451,11 +531,14 @@ def _backward_chunks(cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens, acc,
                          for c in R],
                 [hs[c][i - 1] for c in R],
             )
-            emit(lambda g=g, h_in=h_in, i=i: acc(
-                dw_refs[i],
-                jnp.concatenate([_s(dw(h_in, g)), _s(dw_x(g))], axis=0),
-            ))
-            emit(lambda g=g, i=i: acc(db_refs[i], db(g)))
+            emit(
+                lambda g, h_in, i=i: acc(
+                    dw_refs[i],
+                    jnp.concatenate([_s(dw(h_in, g)), _s(dw_x(g))], axis=0),
+                ),
+                g, h_in,
+            )
+            emit(lambda g, i=i: acc(db_refs[i], db(g)), g)
             if want_dx:
                 g_x = [
                     g_x[c] + _mm_nt(g[c], ws[i][nw:, :], dt).astype(dt)
@@ -468,13 +551,26 @@ def _backward_chunks(cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens, acc,
                     lambda: [_mm_nt(g[c], ws[i], dt).astype(dt) for c in R],
                     [hs[c][max(i - 1, 0)] for c in R],
                 )
-            emit(lambda g=g, h_in=h_in, i=i: acc_dw(
-                dw_refs[i], dw(h_in, g) if i > 0 else dw_x(g)))
-            emit(lambda g=g, i=i: acc(db_refs[i], db(g)))
+            emit(
+                lambda g, h_in, i=i: acc_dw(
+                    dw_refs[i], dw(h_in, g) if i > 0 else dw_x(g)
+                ),
+                g, h_in,
+            )
+            emit(lambda g, i=i: acc(db_refs[i], db(g)), g)
             if i > 0 or want_dx:
                 g = g_next
-    for _thunk in _deferred:  # phased mode: dW/db burst after the chain
-        _thunk()
+    if _deferred:  # phased modes: dW/db burst after the whole chain
+        opss = [ops for _, ops in _deferred]
+        if _probe == "phasedbar":
+            # Artificial dependency of EVERY dW/db operand on the entire
+            # chain: no scheduler may interleave the two matmul families.
+            flat, tree = jax.tree_util.tree_flatten(opss)
+            opss = jax.tree_util.tree_unflatten(
+                tree, jax.lax.optimization_barrier(flat)
+            )
+        for (fn, _), ops in zip(_deferred, opss):
+            fn(*ops)
     if want_dx:
         g_x = [g_x[c] + g[c] for c in R]  # layer 0's input IS x
     return g_x, g_d
@@ -628,9 +724,11 @@ def _fused_mlp_bwd_impl(params, x, d, g_rgb, g_den, *, cfg: Config,
         *b_specs,
     ]
     # dW/db accumulate in place across the sequential grid.
+    acc_dt = (jnp.bfloat16 if cfg.probe("fm_bwd") == "bf16acc"
+              else jnp.float32)
     out_specs = [*w_specs, *b_specs]
     out_shape = (
-        [jax.ShapeDtypeStruct((i, o), jnp.float32) for i, o in dims]
+        [jax.ShapeDtypeStruct((i, o), acc_dt) for i, o in dims]
         + [jax.ShapeDtypeStruct((1, o), jnp.float32) for _, o in dims]
     )
     if input_grads:

@@ -329,3 +329,68 @@ def test_fuse_ipe_render_matches_oracle():
     )(params, key, rays)
     np.testing.assert_allclose(rgb_f, rgb_o, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(acc_f, acc_o, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("white_bkgd", [True, False])
+def test_fused_level_twopass_matches_autodiff(white_bkgd):
+    """The two-pass backward (fl_variant=twopass: chain phase + whole-tile
+    dW phase over a (tile, 2) grid) must produce the same gradients and
+    forward outputs as jax.grad of the unfused oracle."""
+    cfg = small_cfg(kernel_probes="fl_variant=twopass")
+    params, x_enc, dir_enc, t_vals, dirs, pixels = make_level_inputs(cfg)
+    R = pixels.shape[0]
+    mask = jnp.ones((R,))
+    level_weight = 0.1
+    denom = jnp.maximum(jnp.sum(mask), 1e-10)
+    g_scale = (level_weight * 2.0 * mask / denom)[..., None]
+
+    comp, acc, weights, d_params = fused_level_train(
+        params, cfg, x_enc, dir_enc, t_vals, dirs, pixels, g_scale,
+        white_bkgd, tile=16,
+    )
+
+    grads_ref, (comp_ref, acc_ref, w_ref) = jax.grad(
+        lambda p: oracle_level(p, cfg, x_enc, dir_enc, t_vals, dirs,
+                               pixels, mask, level_weight, white_bkgd),
+        has_aux=True,
+    )(params)
+
+    np.testing.assert_allclose(comp, comp_ref, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(acc, acc_ref, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(weights, w_ref, rtol=1e-4, atol=1e-5)
+    for i, ((dw, db), (dw_r, db_r)) in enumerate(zip(d_params, grads_ref)):
+        np.testing.assert_allclose(
+            dw, dw_r, rtol=2e-4, atol=1e-6, err_msg=f"dW layer {i}"
+        )
+        np.testing.assert_allclose(
+            db, db_r, rtol=2e-4, atol=1e-6, err_msg=f"db layer {i}"
+        )
+
+
+def test_fused_level_twopass_deeper_model():
+    """Two-pass with a deeper trunk (two active skip layers) + ragged rows
+    (padding must contribute nothing to the scratch-accumulated dW)."""
+    cfg = small_cfg(net_depth=5, skip_layer=2,
+                    kernel_probes="fl_variant=twopass")
+    params, x_enc, dir_enc, t_vals, dirs, pixels = make_level_inputs(
+        cfg, R=7, seed=3
+    )
+    mask = jnp.ones((7,))
+    g_scale = (2.0 * mask / jnp.sum(mask))[..., None]
+    comp, acc, weights, d_params = fused_level_train(
+        params, cfg, x_enc, dir_enc, t_vals, dirs, pixels, g_scale,
+        True, tile=32,
+    )
+    grads_ref, (comp_ref, _, _) = jax.grad(
+        lambda p: oracle_level(p, cfg, x_enc, dir_enc, t_vals, dirs,
+                               pixels, mask, 1.0, True),
+        has_aux=True,
+    )(params)
+    np.testing.assert_allclose(comp, comp_ref, rtol=1e-4, atol=1e-5)
+    for i, ((dw, db), (dw_r, db_r)) in enumerate(zip(d_params, grads_ref)):
+        np.testing.assert_allclose(
+            dw, dw_r, rtol=2e-4, atol=1e-6, err_msg=f"dW layer {i}"
+        )
+        np.testing.assert_allclose(
+            db, db_r, rtol=2e-4, atol=1e-6, err_msg=f"db layer {i}"
+        )

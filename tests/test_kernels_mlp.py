@@ -167,3 +167,38 @@ def test_per_ray_and_broadcast_paths_agree():
     for (dwa, dba), (dwb, dbb) in zip(g_a, g_b):
         np.testing.assert_allclose(dwa, dwb, rtol=1e-4, atol=1e-5)
         np.testing.assert_allclose(dba, dbb, rtol=1e-4, atol=1e-5)
+
+
+def test_fused_transposed_heads_matches_oracle():
+    """fm_heads=t (narrow heads as transposed matmuls + VPU outer-product
+    chain) must be numerically identical to the default path: forward AND
+    every gradient."""
+    cfg = small_cfg(net_depth=4, skip_layer=2,
+                    kernel_probes="fm_heads=t")
+    params, x, d = make_inputs(cfg, R=4, S=4, seed=3)
+
+    def loss(c):
+        def f(params, x, d):
+            rgb, den = fused_mlp_apply(params, cfg.replace(kernel_probes=c),
+                                       x, d, tile=8)
+            return jnp.sum(jnp.sin(rgb)) + jnp.sum(den**2)
+        return f
+
+    rgb_t, den_t = fused_mlp_apply(params, cfg, x, d, tile=8)
+    rgb_0, den_0 = fused_mlp_apply(
+        params, cfg.replace(kernel_probes=""), x, d, tile=8
+    )
+    np.testing.assert_allclose(rgb_t, rgb_0, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(den_t, den_0, rtol=1e-4, atol=1e-5)
+
+    g_t = jax.grad(loss("fm_heads=t"), argnums=(0, 1, 2))(params, x, d)
+    g_0 = jax.grad(loss(""), argnums=(0, 1, 2))(params, x, d)
+    for i, ((dw_f, db_f), (dw_r, db_r)) in enumerate(zip(g_t[0], g_0[0])):
+        np.testing.assert_allclose(
+            dw_f, dw_r, rtol=1e-4, atol=1e-5, err_msg=f"dW layer {i}"
+        )
+        np.testing.assert_allclose(
+            db_f, db_r, rtol=1e-4, atol=1e-5, err_msg=f"db layer {i}"
+        )
+    np.testing.assert_allclose(g_t[1], g_0[1], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(g_t[2], g_0[2], rtol=1e-4, atol=1e-5)
