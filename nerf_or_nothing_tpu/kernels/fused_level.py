@@ -325,7 +325,7 @@ def _level_kernel(cfg: Config, dt, s: int, white_bkgd: bool, interleave: int,
     else:
         _backward_chunks(
             cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens,
-            _make_acc(), dw_refs, db_refs,
+            _make_acc(cfg.probe("fm_acc") == "sel"), dw_refs, db_refs,
             want_dx=False, want_dd=False, acts=(hs, vs), x_t=True,
         )
 
@@ -376,7 +376,7 @@ def _level_kernel_twopass(cfg: Config, dt, s: int, white_bkgd: bool,
     grgb_scr, gden_scr, gray_scr = scr[2 * D + 2 * Dc :]
 
     phase = pl.program_id(1)
-    acc = _make_acc()
+    acc = _make_acc(cfg.probe("fm_acc") == "sel")
     tile = x_ref.shape[1]
     chunk = tile // interleave
     rays_chunk = chunk // s

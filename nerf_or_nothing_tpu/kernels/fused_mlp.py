@@ -241,16 +241,31 @@ def _fwd_kernel(cfg: Config, dt, s: int, interleave: int, *refs):
     den_ref[...] = jnp.concatenate(raw_density, axis=0)
 
 
-def _make_acc():
+def _make_acc(sel: bool = False):
     """Grid-step accumulator: dW/db out blocks have a constant index map, so
     they stay in VMEM across the sequential grid; step 0 initializes, later
-    steps add (deterministic — SURVEY.md §5.2)."""
+    steps add (deterministic — SURVEY.md §5.2).
+
+    ``sel``: branchless variant (fm_acc=sel probe) — an unconditional
+    read + select + write instead of two ``pl.when`` regions. Each
+    predicated region is a control-flow boundary Mosaic may not schedule
+    MXU ops across; the backward issues ~26 accumulations per grid step,
+    so if regions cost even a pipeline drain each, the branchy form adds
+    ~0.5 ms/level — the same magnitude as the measured dW/g-chain
+    "scheduling interaction" that survived every ordering probe (all of
+    which kept the branchy accumulate)."""
     is_first = pl.program_id(0) == 0
 
     def acc(ref, val):
         # cast to the accumulator dtype (f32; bf16 under the fm_bwd=bf16acc
         # attribution probe) before the read-modify-write
         val = val.astype(ref.dtype)
+        if sel:
+            # step 0 reads uninitialized VMEM; the select discards it
+            # elementwise (NaN-safe: select, not arithmetic).
+            prev = jnp.where(is_first, jnp.zeros_like(val), ref[...])
+            ref[...] = prev + val
+            return
 
         @pl.when(is_first)
         def _():
@@ -593,7 +608,7 @@ def _bwd_kernel(cfg: Config, dt, s: int, input_grads: bool, interleave: int,
         [w[...] for w in w_refs], [b[...] for b in b_refs],
         _split_rows(grgb_ref[...], interleave),
         _split_rows(gden_ref[...], interleave),
-        _make_acc(), dw_refs, db_refs,
+        _make_acc(cfg.probe("fm_acc") == "sel"), dw_refs, db_refs,
         want_dx=input_grads, want_dd=input_grads,
     )
     if input_grads:
