@@ -311,10 +311,20 @@ def _level_kernel(cfg: Config, dt, s: int, white_bkgd: bool, interleave: int,
     # each VPU elementwise chain once instead of `interleave` times.
     raw_rgb = jnp.concatenate(raw_rgbs, axis=0)
     raw_den = jnp.concatenate(raw_dens, axis=0)
-    comp, acc_out, wts, g_rgb, g_den = _composite_chunk(
-        cfg, white_bkgd, s, raw_rgb, raw_den, delta_ref[...],
-        pix_ref[...], gsc_ref[...],
-    )
+    if cfg.probe("fl_variant") == "nocomp":
+        # attribution probe: skip the composite/loss-grad/composite-bwd
+        # epilogue; data-dependent fillers keep the bwd alive.
+        rt = delta_ref.shape[0]
+        comp = raw_rgb[:rt, :] * 0.5
+        acc_out = raw_den[:rt, :] * 0.5
+        wts = jnp.broadcast_to(raw_den[:rt, :] * 0.25, (rt, s))
+        g_rgb = raw_rgb.astype(jnp.float32) * 1e-3
+        g_den = raw_den.astype(jnp.float32) * 1e-3
+    else:
+        comp, acc_out, wts, g_rgb, g_den = _composite_chunk(
+            cfg, white_bkgd, s, raw_rgb, raw_den, delta_ref[...],
+            pix_ref[...], gsc_ref[...],
+        )
     g_rgbs = _split_rows(g_rgb, interleave)
     g_dens = _split_rows(g_den, interleave)
 
@@ -325,7 +335,7 @@ def _level_kernel(cfg: Config, dt, s: int, white_bkgd: bool, interleave: int,
     else:
         _backward_chunks(
             cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens,
-            _make_acc(cfg.probe("fm_acc") == "sel"), dw_refs, db_refs,
+            _make_acc(branchy=cfg.probe("fm_acc") == "when"), dw_refs, db_refs,
             want_dx=False, want_dd=False, acts=(hs, vs), x_t=True,
         )
 
@@ -376,7 +386,7 @@ def _level_kernel_twopass(cfg: Config, dt, s: int, white_bkgd: bool,
     grgb_scr, gden_scr, gray_scr = scr[2 * D + 2 * Dc :]
 
     phase = pl.program_id(1)
-    acc = _make_acc(cfg.probe("fm_acc") == "sel")
+    acc = _make_acc(branchy=cfg.probe("fm_acc") == "when")
     tile = x_ref.shape[1]
     chunk = tile // interleave
     rays_chunk = chunk // s

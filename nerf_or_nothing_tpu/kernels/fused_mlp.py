@@ -69,7 +69,9 @@ from nerf_or_nothing_tpu.models.mlp import Params, layer_dims
 DEFAULT_TILE_FWD = 4096
 DEFAULT_TILE_BWD = 2048
 DEFAULT_INTERLEAVE = 8
-DEFAULT_INTERLEAVE_BWD = 4
+# 2 on the backward: with the branchless accumulator, interleave 2 edged
+# out 4 on-chip (2.685 vs 2.705 ms/level, consistent across reruns).
+DEFAULT_INTERLEAVE_BWD = 2
 
 
 def _mm(a, b, dt, out_dt=jnp.float32):
@@ -241,26 +243,26 @@ def _fwd_kernel(cfg: Config, dt, s: int, interleave: int, *refs):
     den_ref[...] = jnp.concatenate(raw_density, axis=0)
 
 
-def _make_acc(sel: bool = False):
+def _make_acc(branchy: bool = False):
     """Grid-step accumulator: dW/db out blocks have a constant index map, so
     they stay in VMEM across the sequential grid; step 0 initializes, later
     steps add (deterministic — SURVEY.md §5.2).
 
-    ``sel``: branchless variant (fm_acc=sel probe) — an unconditional
-    read + select + write instead of two ``pl.when`` regions. Each
-    predicated region is a control-flow boundary Mosaic may not schedule
-    MXU ops across; the backward issues ~26 accumulations per grid step,
-    so if regions cost even a pipeline drain each, the branchy form adds
-    ~0.5 ms/level — the same magnitude as the measured dW/g-chain
-    "scheduling interaction" that survived every ordering probe (all of
-    which kept the branchy accumulate)."""
+    Default is BRANCHLESS: an unconditional read + select + write. Each
+    ``pl.when``-predicated region is a control-flow boundary the Mosaic
+    scheduler does not move MXU ops across; the backward issues ~26
+    accumulations per grid step, and the branchy form MEASURED
+    +0.26 ms/level on v5e (2.96 -> 2.70, docs/PERF.md round 4) — most of
+    the dW/g-chain "scheduling interaction" that had survived every
+    ordering probe (all of which kept the branchy accumulate). The branchy
+    variant remains as the ``fm_acc=when`` attribution probe."""
     is_first = pl.program_id(0) == 0
 
     def acc(ref, val):
         # cast to the accumulator dtype (f32; bf16 under the fm_bwd=bf16acc
         # attribution probe) before the read-modify-write
         val = val.astype(ref.dtype)
-        if sel:
+        if not branchy:
             # step 0 reads uninitialized VMEM; the select discards it
             # elementwise (NaN-safe: select, not arithmetic).
             prev = jnp.where(is_first, jnp.zeros_like(val), ref[...])
@@ -608,7 +610,7 @@ def _bwd_kernel(cfg: Config, dt, s: int, input_grads: bool, interleave: int,
         [w[...] for w in w_refs], [b[...] for b in b_refs],
         _split_rows(grgb_ref[...], interleave),
         _split_rows(gden_ref[...], interleave),
-        _make_acc(cfg.probe("fm_acc") == "sel"), dw_refs, db_refs,
+        _make_acc(branchy=cfg.probe("fm_acc") == "when"), dw_refs, db_refs,
         want_dx=input_grads, want_dd=input_grads,
     )
     if input_grads:
