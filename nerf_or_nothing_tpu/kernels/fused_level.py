@@ -124,6 +124,86 @@ def _composite_fwd_chunk(cfg: Config, white_bkgd: bool, s: int, raw_rgb,
     return comp, acc_out, weights, (sig, sp_in, alpha, trans, rgb_rs, incl)
 
 
+def _composite_fwd_planes(cfg: Config, white_bkgd: bool, s: int, raw_rgb_t,
+                          raw_den_t, delta):
+    """Activation + compositing forward in CHANNEL-PLANE form.
+
+    ``raw_rgb_t`` [3, RT*S] / ``raw_den_t`` [1, RT*S] are the TRANSPOSED
+    head outputs (fused_mlp._forward_chunks heads_t_out): each channel row
+    reshapes contiguously to a full-lane [RT, S] plane, so every
+    elementwise op here runs at 128/128 lane occupancy — the row-major
+    composite's [., 3] channel-minor tensors ran at 3/128 and measured
+    0.28 ms/level (fl_variant=nocomp attribution, docs/PERF.md round 4).
+    """
+    rt = delta.shape[0]
+    p = cfg.rgb_padding
+
+    sig_p = [
+        jax.nn.sigmoid(raw_rgb_t[k : k + 1, :].reshape(rt, s))
+        for k in range(3)
+    ]
+    rgb_p = [sg * (1.0 + 2.0 * p) - p for sg in sig_p]
+    sp_in = raw_den_t.reshape(rt, s) + cfg.density_bias
+    sigma_rs = jax.nn.softplus(sp_in)
+
+    s_ = sigma_rs * delta
+    alpha = 1.0 - jnp.exp(-s_)
+    incl, excl = _tri_scan_mats(s)
+    trans = jnp.exp(-_scan_mm(s_, excl))
+    weights = alpha * trans
+    acc_out = jnp.sum(weights, axis=-1, keepdims=True)
+
+    comp = jnp.concatenate(
+        [jnp.sum(weights * rgb_p[k], axis=-1, keepdims=True)
+         for k in range(3)],
+        axis=1,
+    )  # [RT, 3]
+    if white_bkgd:
+        comp = comp + (1.0 - acc_out)
+    return comp, acc_out, weights, (sig_p, rgb_p, sp_in, alpha, trans, incl)
+
+
+def _composite_planes(cfg: Config, white_bkgd: bool, s: int, raw_rgb_t,
+                      raw_den_t, delta, pix, gsc):
+    """Forward composite + loss gradient + composite/activation backward,
+    channel-plane form (same math as ``_composite_chunk``, full-lane ops).
+
+    Returns the head cotangents TRANSPOSED — g_rgb_t [3, RT*S],
+    g_den_t [1, RT*S] — for the transposed head backward
+    (fused_mlp._backward_chunks heads_gt)."""
+    rt = delta.shape[0]
+    p = cfg.rgb_padding
+    comp, acc_out, weights, saved = _composite_fwd_planes(
+        cfg, white_bkgd, s, raw_rgb_t, raw_den_t, delta
+    )
+    sig_p, rgb_p, sp_in, alpha, trans, incl = saved
+
+    g_comp = gsc * (comp - pix)                          # [RT, 3]
+    gck = [g_comp[:, k : k + 1] for k in range(3)]       # [RT, 1] each
+    dl_dw = sum(gck[k] * rgb_p[k] for k in range(3))     # [RT, S]
+    if white_bkgd:
+        dl_dw = dl_dw - (gck[0] + gck[1] + gck[2])
+    wdw = dl_dw * weights
+    suffix = (
+        jnp.sum(wdw, axis=-1, keepdims=True) - _scan_mm(wdw, incl)
+    )
+    one_minus_alpha = jnp.maximum(1.0 - alpha, 1e-10)
+    dl_dalpha = dl_dw * trans - suffix / one_minus_alpha
+    dl_dsigma = dl_dalpha * (1.0 - alpha) * delta        # [RT, S]
+
+    g_rgb_t = jnp.concatenate(
+        [
+            ((gck[k] * weights)
+             * (sig_p[k] * (1.0 - sig_p[k]) * (1.0 + 2.0 * p))
+             ).reshape(1, rt * s)
+            for k in range(3)
+        ],
+        axis=0,
+    )  # [3, RT*S]
+    g_den_t = (dl_dsigma * jax.nn.sigmoid(sp_in)).reshape(1, rt * s)
+    return comp, acc_out, weights, g_rgb_t, g_den_t
+
+
 def _composite_chunk(cfg: Config, white_bkgd: bool, s: int, raw_rgb, raw_den,
                      delta, pix, gsc):
     """Forward composite + loss gradient + composite/activation backward for
@@ -298,10 +378,13 @@ def _level_kernel(cfg: Config, dt, s: int, white_bkgd: bool, interleave: int,
             x_t[:, i * chunk : (i + 1) * chunk] for i in range(interleave)
         ]
     ds = _split_rows(d_ref[...], interleave)
+    # Channel-plane composite + transposed heads by default (fl_comp=rows
+    # reverts to the row-major composite for attribution).
+    planes = cfg.probe("fl_comp") != "rows"
 
     # ---- forward: activations stay live for the backward ----
     raw_rgbs, raw_dens, hs, vs = _forward_chunks(
-        cfg, dt, s, xs, ds, ws, bs, x_t=True
+        cfg, dt, s, xs, ds, ws, bs, x_t=True, heads_t_out=planes
     )
 
     # ---- composite + loss grad + composite bwd, whole tile at once ----
@@ -309,24 +392,40 @@ def _level_kernel(cfg: Config, dt, s: int, white_bkgd: bool, interleave: int,
     # activations); batching all chunks into ONE composite turns the
     # 2*interleave few-row scan matmuls into 2 full-tile ones and issues
     # each VPU elementwise chain once instead of `interleave` times.
-    raw_rgb = jnp.concatenate(raw_rgbs, axis=0)
-    raw_den = jnp.concatenate(raw_dens, axis=0)
+    cat_axis = 1 if planes else 0
+    raw_rgb = jnp.concatenate(raw_rgbs, axis=cat_axis)
+    raw_den = jnp.concatenate(raw_dens, axis=cat_axis)
+    rt = delta_ref.shape[0]
     if cfg.probe("fl_variant") == "nocomp":
         # attribution probe: skip the composite/loss-grad/composite-bwd
         # epilogue; data-dependent fillers keep the bwd alive.
-        rt = delta_ref.shape[0]
-        comp = raw_rgb[:rt, :] * 0.5
-        acc_out = raw_den[:rt, :] * 0.5
-        wts = jnp.broadcast_to(raw_den[:rt, :] * 0.25, (rt, s))
-        g_rgb = raw_rgb.astype(jnp.float32) * 1e-3
-        g_den = raw_den.astype(jnp.float32) * 1e-3
+        if planes:
+            comp = raw_rgb[:, :rt].T * 0.5
+            acc_out = raw_den[:, :rt].T * 0.5
+            wts = jnp.broadcast_to(raw_den[:, :rt].T * 0.25, (rt, s))
+            g_rgb = raw_rgb.astype(jnp.float32) * 1e-3
+            g_den = raw_den.astype(jnp.float32) * 1e-3
+        else:
+            comp = raw_rgb[:rt, :] * 0.5
+            acc_out = raw_den[:rt, :] * 0.5
+            wts = jnp.broadcast_to(raw_den[:rt, :] * 0.25, (rt, s))
+            g_rgb = raw_rgb.astype(jnp.float32) * 1e-3
+            g_den = raw_den.astype(jnp.float32) * 1e-3
     else:
-        comp, acc_out, wts, g_rgb, g_den = _composite_chunk(
+        composite = _composite_planes if planes else _composite_chunk
+        comp, acc_out, wts, g_rgb, g_den = composite(
             cfg, white_bkgd, s, raw_rgb, raw_den, delta_ref[...],
             pix_ref[...], gsc_ref[...],
         )
-    g_rgbs = _split_rows(g_rgb, interleave)
-    g_dens = _split_rows(g_den, interleave)
+    if planes:
+        chunk_r = g_rgb.shape[1] // interleave
+        g_rgbs = [g_rgb[:, i * chunk_r : (i + 1) * chunk_r]
+                  for i in range(interleave)]
+        g_dens = [g_den[:, i * chunk_r : (i + 1) * chunk_r]
+                  for i in range(interleave)]
+    else:
+        g_rgbs = _split_rows(g_rgb, interleave)
+        g_dens = _split_rows(g_den, interleave)
 
     # ---- MLP backward reusing the live activations (no recompute) ----
     if cfg.probe("fl_variant") == "nobwd":  # ablation: skip MLP backward
@@ -337,6 +436,7 @@ def _level_kernel(cfg: Config, dt, s: int, white_bkgd: bool, interleave: int,
             cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens,
             _make_acc(branchy=cfg.probe("fm_acc") == "when"), dw_refs, db_refs,
             want_dx=False, want_dd=False, acts=(hs, vs), x_t=True,
+            heads_gt=planes,
         )
 
     comp_ref[...] = comp
@@ -532,12 +632,14 @@ def _render_kernel(cfg: Config, dt, s: int, white_bkgd: bool,
         ]
     ds = _split_rows(d_ref[...], interleave)
 
+    planes = cfg.probe("fl_comp") != "rows"
     raw_rgbs, raw_dens, _, _ = _forward_chunks(
-        cfg, dt, s, xs, ds, ws, bs, x_t=True
+        cfg, dt, s, xs, ds, ws, bs, x_t=True, heads_t_out=planes
     )
-    comp, acc_out, wts, _ = _composite_fwd_chunk(
-        cfg, white_bkgd, s, jnp.concatenate(raw_rgbs, axis=0),
-        jnp.concatenate(raw_dens, axis=0), delta_ref[...],
+    composite_fwd = _composite_fwd_planes if planes else _composite_fwd_chunk
+    comp, acc_out, wts, _ = composite_fwd(
+        cfg, white_bkgd, s, jnp.concatenate(raw_rgbs, axis=1 if planes else 0),
+        jnp.concatenate(raw_dens, axis=1 if planes else 0), delta_ref[...],
     )
     comp_ref[...] = comp
     acc_ref[...] = acc_out

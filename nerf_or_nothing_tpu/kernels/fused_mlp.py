@@ -104,7 +104,8 @@ def _mm_nt(a, b, dt, out_dt=jnp.float32):
     )
 
 
-def _forward_chunks(cfg: Config, dt, s: int, xs, ds, ws, bs, x_t=False):
+def _forward_chunks(cfg: Config, dt, s: int, xs, ds, ws, bs, x_t=False,
+                    heads_t_out=False):
     """Shared fwd math on a LIST of independent row chunks.
 
     Each layer is computed for every chunk before moving to the next layer —
@@ -166,6 +167,17 @@ def _forward_chunks(cfg: Config, dt, s: int, xs, ds, ws, bs, x_t=False):
     heads_t = cfg.probe("fm_heads") == "t"
 
     def head(h, w, b):
+        if heads_t_out:
+            # TRANSPOSED head output [out, rows]: out (1 or 3) pads to 8
+            # SUBLANES instead of 128 lanes — 16x less padded MXU work —
+            # and each output row reshapes CONTIGUOUSLY to a full-lane
+            # [rays, S] channel plane for the composite (fused_level).
+            zt = jax.lax.dot_general(
+                w.astype(dt), h,
+                dimension_numbers=(((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # [out, rows]
+            return zt + b.T
         if heads_t:
             zt = jax.lax.dot_general(
                 w.astype(dt), h,
@@ -282,7 +294,8 @@ def _make_acc(branchy: bool = False):
 
 def _backward_chunks(cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens, acc,
                      dw_refs, db_refs, want_dx=True, want_dd=True,
-                     acts=None, x_t=False, do_dw=True, g_store=None):
+                     acts=None, x_t=False, do_dw=True, g_store=None,
+                     heads_gt=False):
     """Recompute-forward + full reverse pass over a LIST of independent row
     chunks; returns (list of g_x or None, list of per-ray g_d or None).
 
@@ -445,6 +458,39 @@ def _backward_chunks(cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens, acc,
             return [fallback[c] for c in R]
         return real()
 
+    # ---- head cotangents in TRANSPOSED [out, chunk] form (heads_gt) ----
+    # The chain contribution contracts over out (K = 1 or 3, padded to 8
+    # sublanes instead of 128 lanes) and dW comes out as [out, in] (one
+    # tiny transpose before the accumulate) — the 128-lane head padding
+    # disappears from the backward too.
+    def chain_gt(g_t, w):
+        # [out, chunk] x [in, out] -> [chunk, in]
+        return jax.lax.dot_general(
+            g_t.astype(dt), w.astype(dt),
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def dw_gt(h_ins, g_ts, shape):
+        if _probe == "nodw":
+            return jnp.broadcast_to(
+                g_ts[0][:, :1].T.astype(jnp.float32), shape
+            )
+        return sum(
+            jax.lax.dot_general(
+                g_ts[c].astype(dt), h_ins[c].astype(dt),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for c in R
+        ).T  # [out, in] -> [in, out]
+
+    def db_gt(g_ts):
+        return sum(
+            jnp.sum(g, axis=1, keepdims=True, dtype=jnp.float32)
+            for g in g_ts
+        ).T
+
     # ---- rgb head ----
     i_rgb = D + 1 + Dc
     # the g chain runs in the compute dtype (its operands are cast to dt
@@ -453,16 +499,31 @@ def _backward_chunks(cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens, acc,
     # layer's mask needs it), while the dW/db products only feed the grid
     # accumulator - issue order biases Mosaic's scheduler toward keeping
     # the chain moving with the accumulation behind it.
-    g_next = chain(
-        lambda: (
-            head_chain_terms(g_rgbs, ws[i_rgb]) if heads_t
-            else [_mm_nt(g_rgbs[c], ws[i_rgb], dt).astype(dt) for c in R]
-        ),
-        [vs[c][-1] for c in R],
-    )
     _h_rgb = [vs[c][-1] for c in R]
-    emit(lambda h, g: acc_dw(dw_refs[i_rgb], dw_head(h, g)), _h_rgb, g_rgbs)
-    emit(lambda g: acc(db_refs[i_rgb], db(g)), g_rgbs)
+    if heads_gt:
+        g_next = chain(
+            lambda: [chain_gt(g_rgbs[c], ws[i_rgb]).astype(dt) for c in R],
+            _h_rgb,
+        )
+        emit(
+            lambda h, g: acc(
+                dw_refs[i_rgb], dw_gt(h, g, dw_refs[i_rgb].shape)
+            ),
+            _h_rgb, g_rgbs,
+        )
+        emit(lambda g: acc(db_refs[i_rgb], db_gt(g)), g_rgbs)
+    else:
+        g_next = chain(
+            lambda: (
+                head_chain_terms(g_rgbs, ws[i_rgb]) if heads_t
+                else [_mm_nt(g_rgbs[c], ws[i_rgb], dt).astype(dt)
+                      for c in R]
+            ),
+            _h_rgb,
+        )
+        emit(lambda h, g: acc_dw(dw_refs[i_rgb], dw_head(h, g)),
+             _h_rgb, g_rgbs)
+        emit(lambda g: acc(db_refs[i_rgb], db(g)), g_rgbs)
     g = g_next
 
     # ---- view branch reversed ----
@@ -521,20 +582,32 @@ def _backward_chunks(cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens, acc,
 
     # ---- density head joins the trunk gradient (MLP.cs:148-153) ----
     _h_den = [hs[c][-1] for c in R]
-    emit(lambda h, g: acc_dw(dw_refs[D], dw_head(h, g)), _h_den, g_dens)
-    emit(lambda g: acc(db_refs[D], db(g)), g_dens)
-    if heads_t:
-        _den_terms = head_chain_terms(g_dens, ws[D])
+    if heads_gt:
+        emit(
+            lambda h, g: acc(dw_refs[D], dw_gt(h, g, dw_refs[D].shape)),
+            _h_den, g_dens,
+        )
+        emit(lambda g: acc(db_refs[D], db_gt(g)), g_dens)
         g = chain(
-            lambda: [g[c] + _den_terms[c] for c in R],
-            [hs[c][-1] for c in R],
+            lambda: [g[c] + chain_gt(g_dens[c], ws[D]).astype(dt)
+                     for c in R],
+            _h_den,
         )
     else:
-        g = chain(
-            lambda: [g[c] + _mm_nt(g_dens[c], ws[D], dt).astype(dt)
-                     for c in R],
-            [hs[c][-1] for c in R],
-        )
+        emit(lambda h, g: acc_dw(dw_refs[D], dw_head(h, g)), _h_den, g_dens)
+        emit(lambda g: acc(db_refs[D], db(g)), g_dens)
+        if heads_t:
+            _den_terms = head_chain_terms(g_dens, ws[D])
+            g = chain(
+                lambda: [g[c] + _den_terms[c] for c in R],
+                [hs[c][-1] for c in R],
+            )
+        else:
+            g = chain(
+                lambda: [g[c] + _mm_nt(g_dens[c], ws[D], dt).astype(dt)
+                         for c in R],
+                [hs[c][-1] for c in R],
+            )
 
     # ---- trunk reversed ----
     g_x = [jnp.zeros_like(xs[c]) for c in R] if want_dx else [None] * C
