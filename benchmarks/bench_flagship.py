@@ -204,7 +204,8 @@ def main():
         "heldout_curve": heldout_curve,
     }
     os.makedirs(ARTIFACTS, exist_ok=True)
-    path = os.path.join(ARTIFACTS, "quality_curve_flagship.json")
+    suffix = "" if size == 256 else f"_{size}"
+    path = os.path.join(ARTIFACTS, f"quality_curve_flagship{suffix}.json")
     with open(path, "w") as f:
         json.dump(record, f, indent=1)
 

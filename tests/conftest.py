@@ -11,9 +11,10 @@ sitecustomize and pin ``jax_platforms`` programmatically.
 
 import os
 
-# NON_TPU_TEST_PLATFORM=tpu runs the suite against the real chip instead
-# (kernel tests then exercise the compiled Mosaic lowering, not interpret
-# mode); default is the 8-device virtual CPU mesh.
+# NON_TPU_TEST_PLATFORM=tpu runs the suite against the real chip instead:
+# tiny-tile kernel tests auto-skip (their blocks cannot lower on hardware)
+# and tests/test_tpu_parity.py becomes the compiled-Mosaic numerics gate.
+# Default is the 8-device virtual CPU mesh.
 _PLATFORM = os.environ.get("NON_TPU_TEST_PLATFORM", "cpu")
 
 flags = os.environ.get("XLA_FLAGS", "")

@@ -1,7 +1,10 @@
 """Whole-level fused train kernel vs autodiff of the unfused oracle.
 
-On CPU the kernel runs in interpret mode; compiled on real TPU these same
-tests are the numerics gate for the Mosaic lowering.
+These tests pin the kernel MATH with tiny tiles (8-32 rows) in Pallas
+interpret mode; real TPU hardware cannot lower such block shapes (lane
+dim must be 128-divisible or whole-array), so under
+``NON_TPU_TEST_PLATFORM=tpu`` they skip and the compiled-Mosaic numerics
+gate is ``tests/test_tpu_parity.py`` (flagship shapes) instead.
 """
 
 import jax
@@ -17,6 +20,12 @@ from nerf_or_nothing_tpu.rays import Rays
 from nerf_or_nothing_tpu.train import (
     init_train_state,
     make_jitted_train_step,
+)
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() in ("tpu", "axon"),
+    reason="tiny-tile blocks lower only in interpret mode; hardware "
+    "parity is tests/test_tpu_parity.py",
 )
 
 
