@@ -134,6 +134,7 @@ def train(cfg: Config, log_dir: Optional[str] = None) -> TrainState:
     # PSNR/SSIM. 0 disables.
     test_ds = None
     render_fn = None
+    render_mesh = None
     import gc
 
     # In-graph multi-step (steps_per_call > 1): single-device AND 1-D
@@ -188,16 +189,31 @@ def train(cfg: Config, log_dir: Optional[str] = None) -> TrainState:
                 try:
                     if test_ds is None:
                         test_ds = create_dataset("test", cfg.data_dir, cfg)
-                        render_fn = make_render_fn(cfg)
+                        # Render THROUGH the training mesh when one exists
+                        # on this single process (1-D DP): params stay on
+                        # device (they are already mesh-replicated) and the
+                        # full mesh renders the view. Multi-host and 2-D TP
+                        # fall back to a host pull + lead-local render (a
+                        # lead-only mesh render would deadlock the other
+                        # processes; TP shards the weight matrices).
+                        render_mesh = (
+                            mesh
+                            if (not single_device and len(mesh_shape) != 2
+                                and jax.process_count() == 1)
+                            else None
+                        )
+                        render_fn = make_render_fn(cfg, mesh=render_mesh)
                     trays, tgt = test_ds.image_rays(0)
                     th, tw = test_ds.image_dims(0)
-                    # Params are replicated; pull to host so the local render
-                    # jit is independent of the training mesh placement.
-                    host_params = jax.tree.map(np.asarray, state.params)
+                    render_params = (
+                        state.params
+                        if render_mesh is not None or single_device
+                        else jax.tree.map(np.asarray, state.params)
+                    )
                     rgb, _, _ = render_image(
-                        render_fn, host_params,
+                        render_fn, render_params,
                         Rays(*[jnp.asarray(x) for x in trays]),
-                        th, tw, cfg.render_chunk_size,
+                        th, tw, cfg.render_chunk_size, mesh=render_mesh,
                     )
                     from nerf_or_nothing_tpu.eval import evaluate_image
 
