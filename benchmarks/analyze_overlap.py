@@ -16,7 +16,11 @@ psum overlaps with the remaining backward" (README r1): see
 ``docs/overlap_hlo_excerpt.txt`` and PERF.md for what the compiler
 actually schedules and why that is the right call at this model size.
 
-Usage: python benchmarks/analyze_overlap.py [topology] (default v5e:2x2)
+Usage: python benchmarks/analyze_overlap.py [topology] [slices]
+(default v5e:2x2, 1 slice). ``slices > 1`` AOT-compiles a MULTI-SLICE
+topology — data parallelism spanning DCN-connected pod slices — and
+reports how the gradient all-reduce is laid out across the slice
+boundary (SURVEY.md §5.8: "ICI within a slice, DCN across slices").
 """
 
 import json
@@ -33,7 +37,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ICI_BYTES_PER_SEC = 45e9
 
 
-def main(topology: str = "v5e:2x2", out_path: str | None = None) -> None:
+def main(topology: str = "v5e:2x2", slices: str = "1",
+         out_path: str | None = None) -> None:
     import jax
     from jax.experimental import topologies
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -43,9 +48,13 @@ def main(topology: str = "v5e:2x2", out_path: str | None = None) -> None:
     from nerf_or_nothing_tpu.rays import Rays
     from nerf_or_nothing_tpu.train import init_train_state, make_train_step
 
+    n_slices = int(slices)
+    kwargs = {"num_slices": n_slices} if n_slices > 1 else {}
     topo = topologies.get_topology_desc(platform="tpu",
-                                        topology_name=topology)
+                                        topology_name=topology, **kwargs)
     n_dev = len(topo.devices)
+    if n_slices > 1:
+        topology = f"{topology}x{n_slices}slices"
     mesh = Mesh(np.asarray(topo.devices), (mesh_lib.BATCH_AXIS,))
     cfg = Config(batch_size=1024 * n_dev, donate_params=False)
 
@@ -82,7 +91,29 @@ def main(topology: str = "v5e:2x2", out_path: str | None = None) -> None:
 
     results = []
     excerpt = []
+    dcn_legs = []
     for i, line in enumerate(lines):
+        # Cross-slice (DCN) reduction legs: XLA lowers the inter-slice part
+        # of a multi-slice all-reduce to megascale-runtime send/recv pairs
+        # (frontend attr _xla_megascale_reduce_operation) after the
+        # intra-slice ICI all-reduce.
+        if "_xla_megascale_reduce_operation" in line:
+            sm = re.search(r"%(\S+) = .*?(send|recv)\(", line)
+            # payload is the first f32 shape of the (data, u32, token) tuple
+            shapes = re.findall(r"f32\[([\d,]*)\]", line)[:1]
+            if sm:
+                dcn_legs.append({
+                    "op": sm.group(2),
+                    "bytes": sum(
+                        4 * int(np.prod(
+                            [int(d) for d in s.split(",") if d] or [1]
+                        ))
+                        for s in shapes
+                    ),
+                })
+                excerpt.append(
+                    f"line {i}/{len(lines)}: " + line.strip()[:400]
+                )
         m = re.search(r"%(\S+) = .*? (all-reduce(?:-start)?)\(", line)
         if not m:
             continue
@@ -119,12 +150,21 @@ def main(topology: str = "v5e:2x2", out_path: str | None = None) -> None:
         "bytes_total": sum(r["bytes"] for r in results),
         "est_ici_us_total": round(sum(r["est_ici_us"] for r in results), 1),
         "pallas_kernels_in_program": len(kernel_lines),
+        "dcn_reduce_legs": len(dcn_legs),
+        "dcn_bytes_per_slice": sum(
+            l["bytes"] for l in dcn_legs if l["op"] == "send"
+        ),
     }))
 
     if out_path is None:
+        fname = (
+            "overlap_hlo_excerpt.txt"
+            if (n_slices == 1 and topology == "v5e:2x2")
+            else f"overlap_hlo_excerpt_{topology.replace(':', '_')}.txt"
+        )
         out_path = os.path.join(
             os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            "docs", "overlap_hlo_excerpt.txt",
+            "docs", fname,
         )
     with open(out_path, "w") as f:
         f.write(
