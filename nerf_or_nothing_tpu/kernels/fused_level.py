@@ -379,8 +379,13 @@ def _level_kernel(cfg: Config, dt, s: int, white_bkgd: bool, interleave: int,
         ]
     ds = _split_rows(d_ref[...], interleave)
     # Channel-plane composite + transposed heads by default (fl_comp=rows
-    # reverts to the row-major composite for attribution).
-    planes = cfg.probe("fl_comp") != "rows"
+    # reverts to the row-major composite for attribution). Hardware
+    # limitation: Mosaic lowers the contiguous [1, RT*S] -> [RT, S] plane
+    # reshape only at the native lane width (S=128 verified; S=64/256 hit
+    # "infer-vector-layout: unsupported shape cast"), so other sample
+    # counts take the row-major path on real TPU. Interpret mode keeps
+    # planes at any S for CPU math coverage.
+    planes = cfg.probe("fl_comp") != "rows" and (s == 128 or _interpret())
 
     # ---- forward: activations stay live for the backward ----
     raw_rgbs, raw_dens, hs, vs = _forward_chunks(
@@ -632,7 +637,8 @@ def _render_kernel(cfg: Config, dt, s: int, white_bkgd: bool,
         ]
     ds = _split_rows(d_ref[...], interleave)
 
-    planes = cfg.probe("fl_comp") != "rows"
+    # planes gate: see _level_kernel (S=128-only on hardware)
+    planes = cfg.probe("fl_comp") != "rows" and (s == 128 or _interpret())
     raw_rgbs, raw_dens, _, _ = _forward_chunks(
         cfg, dt, s, xs, ds, ws, bs, x_t=True, heads_t_out=planes
     )

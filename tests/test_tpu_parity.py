@@ -109,3 +109,41 @@ def test_fused_level_render_hardware_parity():
     _assert_close(comp, comp_o, 1e-6, 1e-3)
     _assert_close(acc, acc_o, 1e-6, 1e-3)
     _assert_close(wts, wts_o, 1e-6, 1e-3)
+
+
+@pytest.mark.parametrize("samples", [64, 256])
+def test_fused_level_non128_samples_lowers_on_hardware(samples):
+    """S != 128 cannot use the channel-plane composite on real TPU (Mosaic
+    lowers the flat->[RT, S] plane reshape only at native 128-lane width;
+    S=64/256 hit 'unsupported shape cast') — the kernel must fall back to
+    the row-major composite and still compile + run. Regression for the
+    round-4 bench_quality breakage."""
+    cfg = Config(compute_dtype="float32", num_samples=samples)
+    S, R = samples, 16
+    ks = jax.random.split(jax.random.PRNGKey(0), 6)
+    params = mlp_lib.init_mlp(ks[0], cfg)
+    x_enc = jax.random.normal(ks[1], (R, S, cfg.location_features)) * 0.5
+    dir_enc = jax.random.normal(ks[2], (R, cfg.direction_features)) * 0.5
+    t_vals = jnp.sort(
+        jax.random.uniform(ks[3], (R, S + 1), minval=2.0, maxval=6.0),
+        axis=-1,
+    )
+    dirs = jax.random.normal(ks[4], (R, 3))
+    pixels = jax.random.uniform(ks[5], (R, 3))
+    mask = jnp.ones((R,))
+    gsc = (0.1 * 2.0 * mask / jnp.maximum(jnp.sum(mask), 1e-10))[:, None]
+    comp, _, wts, dp = fused_level_train(
+        params, cfg, x_enc, dir_enc, t_vals, dirs, pixels, gsc, True
+    )
+    (_, (comp_o, wts_o)), grads = jax.value_and_grad(
+        lambda p: _oracle_level(p, cfg, x_enc, dir_enc, t_vals, dirs,
+                                pixels, mask, 0.1, True),
+        has_aux=True,
+    )(params)
+    # atol 1e-5: near-zero db values accumulate over up to 4096 rows in a
+    # different order than the oracle's XLA reduction — ~1e-6 abs noise.
+    _assert_close(comp, comp_o, 1e-5, 1e-3)
+    _assert_close(wts, wts_o, 1e-5, 1e-3)
+    for (dw, db), (dwo, dbo) in zip(dp, grads):
+        _assert_close(dw, dwo, 1e-5, 1e-3)
+        _assert_close(db, dbo, 1e-5, 1e-3)
