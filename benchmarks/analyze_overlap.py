@@ -16,8 +16,9 @@ psum overlaps with the remaining backward" (README r1): see
 ``docs/overlap_hlo_excerpt.txt`` and PERF.md for what the compiler
 actually schedules and why that is the right call at this model size.
 
-Usage: python benchmarks/analyze_overlap.py [topology] [slices]
-(default v5e:2x2, 1 slice). ``slices > 1`` AOT-compiles a MULTI-SLICE
+Usage: python benchmarks/analyze_overlap.py [topology] [--slices=N]
+        [--out=PATH]
+(default v5e:2x2, 1 slice). ``--slices`` > 1 AOT-compiles a MULTI-SLICE
 topology — data parallelism spanning DCN-connected pod slices — and
 reports how the gradient all-reduce is laid out across the slice
 boundary (SURVEY.md §5.8: "ICI within a slice, DCN across slices").
@@ -177,4 +178,18 @@ def main(topology: str = "v5e:2x2", slices: str = "1",
 
 
 if __name__ == "__main__":
-    main(*(sys.argv[1:] or []))
+    # Flag-style slices/out (a positional argv[2] historically meant
+    # out_path, then briefly slices — flags remove the ambiguity).
+    _kw = {}
+    _pos = []
+    for a in sys.argv[1:]:
+        if a.startswith("--slices="):
+            _kw["slices"] = a.split("=", 1)[1]
+        elif a.startswith("--out="):
+            _kw["out_path"] = a.split("=", 1)[1]
+        else:
+            _pos.append(a)
+    if len(_pos) > 1:
+        sys.exit("usage: analyze_overlap.py [topology] [--slices=N] "
+                 "[--out=PATH]")
+    main(*(_pos or []), **_kw)

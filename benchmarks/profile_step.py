@@ -67,6 +67,7 @@ def main():
     p.add_argument("--batch-size", type=int, default=1024)
     p.add_argument("--keep-trace", type=str, default="")
     p.add_argument("--fuse-ipe", action="store_true")
+    p.add_argument("--fast-ipe", action="store_true")
     p.add_argument(
         "--probes", type=str, default="",
         help="kernel perf-attribution probes, e.g. "
@@ -88,7 +89,7 @@ def main():
     )
 
     cfg = Config(batch_size=args.batch_size, fuse_ipe=args.fuse_ipe,
-                 kernel_probes=args.probes)
+                 fast_ipe=args.fast_ipe, kernel_probes=args.probes)
     state = init_train_state(cfg)
     rays, pixels = _example_batch(cfg, cfg.batch_size)
     step = make_jitted_train_step(cfg)

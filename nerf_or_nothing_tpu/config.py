@@ -135,6 +135,13 @@ class Config:
     # ms/step), sin/cos run on the VPU under the MXU's shadow, and the
     # [R*S, 96] feature tensor plus its XLA encode fusion disappear.
     fuse_ipe: bool = False
+    # Reduced-precision IPE transcendentals (ops/fastmath.py): polynomial
+    # sin/cos/exp accurate to ~1e-7 in the live-frequency regime — far
+    # below the bf16 feature quantum (~4e-3) — at a fraction of the
+    # library routines' VPU cost. The encode is transcendental-bound
+    # (0.34 ms/step at flagship shapes, docs/PERF.md r4). Applies to the
+    # XLA encode fusion AND the in-kernel (fuse_ipe) path.
+    fast_ipe: bool = False
     debug_nans: bool = False        # jax_debug_nans sanitizer mode (§5.2)
     # checkify-instrumented train step: traps NaN/inf generation and OOB
     # gathers inside jit and raises with a source location (the "compute
@@ -175,8 +182,9 @@ class Config:
     # jit/pallas cache key, so a toggle can never be silently ignored (the
     # old env-var hooks were read at trace time and missed by the cache
     # key) and production configs — which never set this — can never
-    # compute filler gradients. Keys: fm_bwd (nodw|nogchain|phased|accper),
-    # fl_variant (nobwd), fl_tile, fl_il.
+    # compute filler gradients. Keys: fm_bwd (nodw|nogchain|phased|accper|
+    # bf16acc), fl_variant (nobwd|nocomp|twopass), fl_comp (rows), fm_acc
+    # (when), fm_heads (t), fl_tile, fl_il, fr_tile, fr_il (render kernel).
     kernel_probes: str = ""
 
     seed: int = 0

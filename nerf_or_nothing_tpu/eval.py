@@ -135,8 +135,12 @@ def evaluate_image(
 ) -> dict:
     """PSNR / SSIM / avg-error for one rendered image vs ground truth.
 
-    avg_error needs an LPIPS value from an external network (the reference
-    has none in-repo either, MipHelpers.cs:677-684); omitted when absent.
+    ``avg_error`` (MipHelpers.cs:677-684) takes an LPIPS value the
+    reference cannot produce (no LPIPS network in-repo — a dead limb
+    there). Here the slot is LIVE: pass a real LPIPS as ``lpips`` if one
+    is available; otherwise the self-contained deterministic perceptual
+    distance (``ops.perceptual``, random-feature LPIPS architecture) fills
+    it, reported as ``lpips_proxy`` to keep the provenance explicit.
     """
     pred = jnp.asarray(np.clip(pred, 0.0, 1.0))
     gt = jnp.asarray(gt)
@@ -146,7 +150,12 @@ def evaluate_image(
     out = {"mse": float(mse), "psnr": psnr, "ssim": ssim}
     if lpips is not None:
         out["lpips"] = lpips
-        out["avg_error"] = float(compute_avg_error(psnr, ssim, lpips))
+    else:
+        from nerf_or_nothing_tpu.ops.perceptual import perceptual_distance
+
+        lpips = float(perceptual_distance(pred, gt))
+        out["lpips_proxy"] = lpips
+    out["avg_error"] = float(compute_avg_error(psnr, ssim, lpips))
     return out
 
 

@@ -70,6 +70,12 @@ from nerf_or_nothing_tpu.models.mlp import Params, layer_dims
 # The single kernel holds fwd activations + bwd chain + dW accumulators in
 # VMEM, so the row tile sits at the bwd kernel's size (v5e sweep).
 DEFAULT_TILE_LEVEL = 2048
+# The RENDER kernel is forward-only — no dW accumulators, no gradient
+# chain, activations die layer-by-layer — so it runs bigger tiles with
+# more independent chunks in flight (v5e sweep, round 5; probes
+# fr_tile / fr_il override).
+DEFAULT_TILE_RENDER = 4096
+DEFAULT_INTERLEAVE_RENDER = 4
 
 
 def _tri_scan_mats(s: int):
@@ -292,9 +298,22 @@ def _encode_chunk(cfg: Config, dt, mT, vT):
     m = jnp.concatenate([mT] * F, axis=0)  # [3F, rows]
     v = jnp.concatenate([vT] * F, axis=0)
     y = m * scales
-    damp = jnp.exp(v * (-0.5) * (scales * scales))
-    s48 = (damp * jnp.sin(y)).astype(dt)
-    c48 = (damp * jnp.cos(y)).astype(dt)
+    if cfg.fast_ipe:
+        # Polynomial transcendentals (ops/fastmath.py): Mosaic's library
+        # sin/cos throughput measured ~3x below XLA's encode fusion
+        # (docs/PERF.md r3 — the reason in-kernel IPE lost that round);
+        # the ~10-FMA kernels sidestep that entirely.
+        from nerf_or_nothing_tpu.ops.fastmath import (
+            fast_cos, fast_exp_neg, fast_sin,
+        )
+
+        damp = fast_exp_neg(v * 0.5 * (scales * scales))
+        s48 = (damp * fast_sin(y)).astype(dt)
+        c48 = (damp * fast_cos(y)).astype(dt)
+    else:
+        damp = jnp.exp(v * (-0.5) * (scales * scales))
+        s48 = (damp * jnp.sin(y)).astype(dt)
+        c48 = (damp * jnp.cos(y)).astype(dt)
     return s48, c48
 
 
@@ -762,7 +781,7 @@ def fused_level_render(params: Params, cfg: Config, x_enc,
     delta = ((t_vals[..., 1:] - t_vals[..., :-1]) * d_norm).astype(
         jnp.float32
     )
-    tile = tile or int(cfg.probe("fl_tile", "0")) or DEFAULT_TILE_LEVEL
+    tile = tile or int(cfg.probe("fr_tile", "0")) or DEFAULT_TILE_RENDER
     if tile % s:
         tile = ((tile + s - 1) // s) * s
 
@@ -773,7 +792,7 @@ def fused_level_render(params: Params, cfg: Config, x_enc,
         return il
 
     interleave = pick_interleave(
-        int(cfg.probe("fl_il", "0")) or DEFAULT_INTERLEAVE_BWD, tile
+        int(cfg.probe("fr_il", "0")) or DEFAULT_INTERLEAVE_RENDER, tile
     )
     return _fused_render_impl(
         params, x2d, d2d, delta, cfg=cfg, tile=tile, s=s,

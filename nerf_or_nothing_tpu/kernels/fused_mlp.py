@@ -463,6 +463,10 @@ def _backward_chunks(cfg, dt, s, xs, ds, ws, bs, g_rgbs, g_dens, acc,
     # sublanes instead of 128 lanes) and dW comes out as [out, in] (one
     # tiny transpose before the accumulate) — the 128-lane head padding
     # disappears from the backward too.
+    # NB (probe scope): dw_gt bypasses dw()/acc_dw(), so the fm_bwd=accper
+    # and fm_heads=t attribution probes are INERT for the two heads on the
+    # default channel-plane path (heads_gt=True) — they only change head
+    # behavior under fl_comp=rows. Trunk/view-branch dW still honors them.
     def chain_gt(g_t, w):
         # [out, chunk] x [in, out] -> [chunk, in]
         return jax.lax.dot_general(

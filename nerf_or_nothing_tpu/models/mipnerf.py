@@ -85,6 +85,7 @@ def encode_samples(cfg: Config, means, covs, in_kernel: bool, dtype=None):
         # bf16 inside the encode fusion: halves the [R*S, F] HBM write and
         # feeds the Pallas kernel its compute dtype directly.
         dtype=dtype,
+        fast=cfg.fast_ipe,
     )
     return x_enc, None
 

@@ -142,6 +142,7 @@ def integrated_pos_enc(
     max_deg: int,
     diag: bool = True,
     dtype=None,
+    fast: bool = False,
 ) -> jnp.ndarray:
     """IPE of Gaussian samples (MipHelpers.cs:429-471).
 
@@ -158,6 +159,12 @@ def integrated_pos_enc(
     [R, S, F, 6] intermediate forced two full-tensor layout copies
     (~0.17 ms/step measured, docs/PERF.md r3). ``dtype`` casts the output
     inside the same fusion (bf16 for the kernel path: halves the HBM write).
+
+    ``fast``: use the reduced-precision transcendentals (ops/fastmath.py,
+    ~1e-7 absolute in the live-frequency regime — far below the bf16
+    output quantum) instead of the library sin/cos/exp. The encode is
+    transcendental-throughput-bound (~0.34 ms/step at flagship shapes,
+    docs/PERF.md round 4), so this is a pure-perf knob (cfg.fast_ipe).
     """
     mean, cov = means_covs
     if not diag:
@@ -175,12 +182,21 @@ def integrated_pos_enc(
     # factor is SHARED — computing it once saves a third of the
     # transcendentals vs two expected_sin calls (this op runs on the full
     # [rays*samples, F, 3] tensor every level, so it is HBM/VPU-visible).
-    damp = jnp.exp(-0.5 * y_var)
+    if fast:
+        from nerf_or_nothing_tpu.ops.fastmath import (
+            fast_cos, fast_exp_neg, fast_sin,
+        )
+
+        damp = fast_exp_neg(0.5 * y_var)
+        sin_y, cos_y = fast_sin(y), fast_cos(y)
+    else:
+        damp = jnp.exp(-0.5 * y_var)
+        sin_y, cos_y = jnp.sin(y), jnp.cos(y)
     # Interleave per-frequency [sin(3), cos(3)] like the reference layout;
     # the dtype cast happens inside this same fusion (bf16 on the kernel
     # path halves the HBM write of the [R*S, 96] feature tensor).
     feats = jnp.concatenate(
-        [damp * jnp.sin(y), damp * jnp.cos(y)], axis=-1
+        [damp * sin_y, damp * cos_y], axis=-1
     ).astype(out_dt)                                   # [..., F, 6]
     return feats.reshape(*feats.shape[:-2], -1)
 

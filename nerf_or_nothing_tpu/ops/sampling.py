@@ -11,8 +11,9 @@ Pure-JAX oracle for the reference sampling stack:
 All functions are batched over rays, use ``jax.random`` keys (deterministic
 per ray per level per step; the reference shares one mutable ``Random`` /
 cuRAND state — SURVEY.md §7 "PRNG discipline"), and are jit-safe with static
-shapes. Inverse-CDF inversion is a vectorized searchsorted, which XLA lowers
-to log2(S+1) vectorized compare/select rounds — no scalar loops.
+shapes. Inverse-CDF inversion is a gather-free masked compare-and-reduce
+over the bin axis (see ``sorted_piecewise_constant_pdf``) — a vmapped
+searchsorted lowers to serialized gathers on TPU and measured ~26x slower.
 """
 
 from __future__ import annotations

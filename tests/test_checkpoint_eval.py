@@ -120,6 +120,34 @@ def test_psnr_ssim_known_values():
     assert m["ssim"] < 1.0
 
 
+def test_perceptual_distance_and_avg_error():
+    """The self-contained perceptual metric (ops.perceptual): zero on
+    identical images, deterministic, monotone in perturbation size — and
+    evaluate_image now produces avg_error through it (the reference's
+    ComputeAvgError limb, MipHelpers.cs:677-684, made live)."""
+    from nerf_or_nothing_tpu.ops.perceptual import perceptual_distance
+
+    rng = np.random.default_rng(3)
+    img = rng.uniform(size=(48, 48, 3)).astype(np.float32)
+    assert float(perceptual_distance(img, img)) == 0.0
+    small = np.clip(img + rng.normal(0, 0.02, img.shape), 0, 1)
+    big = np.clip(img + rng.normal(0, 0.2, img.shape), 0, 1)
+    d_small = float(perceptual_distance(img, small.astype(np.float32)))
+    d_big = float(perceptual_distance(img, big.astype(np.float32)))
+    assert 0.0 < d_small < d_big
+    # determinism across calls (fixed-seed filters)
+    assert d_small == float(
+        perceptual_distance(img, small.astype(np.float32))
+    )
+
+    m = evaluate_image(small, img)
+    assert "lpips_proxy" in m and m["lpips_proxy"] > 0
+    assert "avg_error" in m and m["avg_error"] > 0
+    # explicit external LPIPS still takes precedence
+    m2 = evaluate_image(small, img, lpips=0.5)
+    assert m2["lpips"] == 0.5 and "lpips_proxy" not in m2
+
+
 def test_metrics_logger_tensorboard(tmp_path):
     """TensorBoard events are written when a SummaryWriter is importable
     (torch.utils.tensorboard in this image), alongside the CSV."""

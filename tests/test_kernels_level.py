@@ -103,6 +103,41 @@ def test_fused_level_matches_autodiff(white_bkgd):
         )
 
 
+def test_fused_level_rows_composite_matches_autodiff():
+    """The ROW-MAJOR composite + untransposed head backward (fl_comp=rows)
+    is the real-hardware fallback for num_samples != 128 — but interpret
+    mode always takes the channel-plane path by default, so this probe-
+    forced run keeps the rows path under oracle coverage off-TPU
+    (on-TPU coverage: test_tpu_parity.py non-128-samples test)."""
+    cfg = small_cfg(kernel_probes="fl_comp=rows")
+    params, x_enc, dir_enc, t_vals, dirs, pixels = make_level_inputs(cfg)
+    R = pixels.shape[0]
+    mask = jnp.ones((R,))
+    level_weight = 0.1
+    denom = jnp.maximum(jnp.sum(mask), 1e-10)
+    g_scale = (level_weight * 2.0 * mask / denom)[..., None]
+
+    comp, acc, weights, d_params = fused_level_train(
+        params, cfg, x_enc, dir_enc, t_vals, dirs, pixels, g_scale,
+        True, tile=16,
+    )
+    grads_ref, (comp_ref, acc_ref, w_ref) = jax.grad(
+        lambda p: oracle_level(p, cfg, x_enc, dir_enc, t_vals, dirs,
+                               pixels, mask, level_weight, True),
+        has_aux=True,
+    )(params)
+    np.testing.assert_allclose(comp, comp_ref, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(acc, acc_ref, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(weights, w_ref, rtol=1e-4, atol=1e-5)
+    for i, ((dw, db), (dw_r, db_r)) in enumerate(zip(d_params, grads_ref)):
+        np.testing.assert_allclose(
+            dw, dw_r, rtol=2e-4, atol=1e-6, err_msg=f"dW layer {i}"
+        )
+        np.testing.assert_allclose(
+            db, db_r, rtol=2e-4, atol=1e-6, err_msg=f"db layer {i}"
+        )
+
+
 def test_fused_level_masked_loss_and_padding():
     """Non-uniform loss_mult mask + row count not a multiple of the tile:
     padded rays must contribute nothing."""
@@ -280,6 +315,54 @@ def test_fused_level_in_kernel_ipe_matches_autodiff():
     )(params)
     np.testing.assert_allclose(comp, comp_ref, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(acc, acc_ref, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(weights, w_ref, rtol=1e-4, atol=1e-5)
+    for i, ((dw, db), (dw_r, db_r)) in enumerate(zip(d_params, grads_ref)):
+        np.testing.assert_allclose(
+            dw, dw_r, rtol=2e-4, atol=1e-6, err_msg=f"dW layer {i}"
+        )
+        np.testing.assert_allclose(
+            db, db_r, rtol=2e-4, atol=1e-6, err_msg=f"db layer {i}"
+        )
+
+
+def test_fused_level_in_kernel_fast_ipe_matches_autodiff():
+    """fuse_ipe + fast_ipe: the kernel's polynomial transcendentals must
+    reproduce jax.grad of an oracle that encodes with the SAME fast path
+    (fast-vs-exact encode accuracy is pinned separately in
+    test_ops_ipe.test_integrated_pos_enc_fast_matches_exact)."""
+    from nerf_or_nothing_tpu.ops import ipe as ipe_lib
+
+    cfg = small_cfg(fuse_ipe=True, fast_ipe=True)
+    R, S = 6, cfg.num_samples
+    ks = jax.random.split(jax.random.PRNGKey(11), 6)
+    params = mlp_lib.init_mlp(ks[0], cfg)
+    means = jax.random.normal(ks[1], (R, S, 3)) * 0.5
+    covs = jax.random.uniform(ks[2], (R, S, 3)) * 0.1
+    dir_enc = jax.random.normal(ks[3], (R, cfg.direction_features)) * 0.5
+    t_vals = jnp.sort(
+        jax.random.uniform(ks[4], (R, S + 1), minval=2.0, maxval=6.0),
+        axis=-1,
+    )
+    dirs = jax.random.normal(ks[5], (R, 3))
+    pixels = jax.random.uniform(ks[0], (R, 3))
+    mask = jnp.ones((R,))
+    g_scale = (2.0 * mask / R)[..., None]
+    comp, acc, weights, d_params = fused_level_train(
+        params, cfg, None, dir_enc, t_vals, dirs, pixels, g_scale,
+        True, tile=16, means_covs=(means, covs),
+    )
+
+    def oracle(p):
+        x_enc = ipe_lib.integrated_pos_enc(
+            (means, covs), cfg.min_deg_point, cfg.max_deg_point, fast=True
+        )
+        return oracle_level(p, cfg, x_enc, dir_enc, t_vals, dirs, pixels,
+                            mask, 1.0, True)
+
+    grads_ref, (comp_ref, acc_ref, w_ref) = jax.grad(
+        oracle, has_aux=True
+    )(params)
+    np.testing.assert_allclose(comp, comp_ref, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(weights, w_ref, rtol=1e-4, atol=1e-5)
     for i, ((dw, db), (dw_r, db_r)) in enumerate(zip(d_params, grads_ref)):
         np.testing.assert_allclose(

@@ -119,3 +119,54 @@ def test_conical_frustum_reduces_to_point_at_zero_width(rng):
     )
     np.testing.assert_allclose(mean[0, 0], [0, 0, -3.0], atol=1e-4)
     np.testing.assert_allclose(cov[0, 0], 0.0, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Fast transcendentals (ops/fastmath.py) and the fast_ipe encode path
+# ---------------------------------------------------------------------------
+
+
+def test_fastmath_accuracy_vs_float64():
+    """fast_sin/cos within 5e-7 over the live-frequency range (|x| <= 4096
+    — frequencies with larger |y| are exp-damped to zero in the IPE, see
+    fastmath module docstring); fast_exp_neg within 2e-5 relative."""
+    from nerf_or_nothing_tpu.ops.fastmath import (
+        fast_cos, fast_exp_neg, fast_sin,
+    )
+
+    rng = np.random.default_rng(0)
+    x = (rng.uniform(-1, 1, 100_000) * 4096.0).astype(np.float32)
+    assert np.max(np.abs(
+        np.asarray(fast_sin(jnp.asarray(x))) - np.sin(x.astype(np.float64))
+    )) < 5e-7
+    assert np.max(np.abs(
+        np.asarray(fast_cos(jnp.asarray(x))) - np.cos(x.astype(np.float64))
+    )) < 5e-7
+
+    xe = rng.uniform(0, 80, 100_000).astype(np.float32)
+    ref = np.exp(-xe.astype(np.float64))
+    got = np.asarray(fast_exp_neg(jnp.asarray(xe)))
+    assert np.max(np.abs(got - ref) / ref) < 2e-5
+    # hard zeros past the underflow cutoff, no NaN/inf anywhere
+    big = np.asarray(fast_exp_neg(jnp.asarray([100.0, 1e6, 1e30])))
+    assert (big == 0.0).all()
+
+
+def test_integrated_pos_enc_fast_matches_exact():
+    """fast=True features match the exact encode to well below the bf16
+    output quantum on realistic sampled Gaussians (means within the scene
+    bound, variances from actual frustum casting)."""
+    rng = np.random.default_rng(1)
+    R, S = 16, 32
+    origins = rng.uniform(-0.5, 0.5, (R, 3))
+    dirs = rng.normal(size=(R, 3))
+    radii = rng.uniform(1e-3, 5e-3, (R, 1))
+    t_vals = np.sort(rng.uniform(2.0, 6.0, (R, S + 1)), axis=-1)
+    means, covs = ipe.cast_rays(
+        jnp.asarray(t_vals), jnp.asarray(origins), jnp.asarray(dirs),
+        jnp.asarray(radii), RayShape.CONE,
+    )
+    exact = ipe.integrated_pos_enc((means, covs), 0, 16)
+    fast = ipe.integrated_pos_enc((means, covs), 0, 16, fast=True)
+    # bf16 quantum near 1.0 is ~4e-3; require 100x tighter.
+    assert float(jnp.max(jnp.abs(exact - fast))) < 4e-5

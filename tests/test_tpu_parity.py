@@ -5,25 +5,27 @@ only the Pallas interpreter accepts — on real TPU those block shapes
 cannot lower (lane dim must be 128-divisible or whole-array). This module
 is the REAL-HARDWARE numerics gate: flagship dims (8x256 MLP, S=128,
 tile=2048), skipped automatically off-TPU (where the interpret-mode tests
-already cover the math). Same check as benchmarks/verify_tpu_parity.py,
-wired into pytest for `NON_TPU_TEST_PLATFORM=tpu` runs.
-
-f32 matmuls on TPU execute as bf16x3 passes, so parity bands are
-atol+rtol, not bitwise (near-zero early-layer gradients make pure
-relative error meaningless).
+already cover the math). The oracle/input/band definitions are shared with
+``benchmarks/verify_tpu_parity.py`` via ``utils.parity`` so the two gates
+cannot drift apart.
 """
 
 import jax
 import jax.numpy as jnp
 import pytest
 
-from nerf_or_nothing_tpu.config import Config
 from nerf_or_nothing_tpu.kernels.fused_level import (
     fused_level_render,
     fused_level_train,
 )
 from nerf_or_nothing_tpu.models import mlp as mlp_lib
 from nerf_or_nothing_tpu.ops import render
+from nerf_or_nothing_tpu.utils.parity import (
+    PARITY_BANDS,
+    normalized_err,
+    oracle_level_loss,
+    parity_inputs,
+)
 
 pytestmark = pytest.mark.skipif(
     jax.default_backend() not in ("tpu", "axon"),
@@ -32,48 +34,15 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-def _oracle_level(params, cfg, x_enc, dir_enc, t_vals, dirs, pixels,
-                  mask, level_weight, white_bkgd):
-    raw_rgb, raw_den = mlp_lib.apply_mlp(params, cfg, x_enc, dir_enc)
-    rgb = jax.nn.sigmoid(raw_rgb)
-    rgb = rgb * (1.0 + 2.0 * cfg.rgb_padding) - cfg.rgb_padding
-    density = jax.nn.softplus(raw_den[..., 0] + cfg.density_bias)
-    comp, acc, weights = render.composite(
-        rgb, density, t_vals, dirs, white_bkgd
-    )
-    denom = jnp.maximum(jnp.sum(mask), 1e-10)
-    sq = jnp.sum((comp - pixels) ** 2, axis=-1)
-    return level_weight * jnp.sum(mask * sq) / denom, (comp, weights)
-
-
-def _inputs(dtype):
-    cfg = Config(compute_dtype=dtype, num_samples=128)
-    S, R = cfg.num_samples, 32
-    ks = jax.random.split(jax.random.PRNGKey(0), 6)
-    params = mlp_lib.init_mlp(ks[0], cfg)
-    x_enc = jax.random.normal(ks[1], (R, S, cfg.location_features)) * 0.5
-    dir_enc = jax.random.normal(ks[2], (R, cfg.direction_features)) * 0.5
-    t_vals = jnp.sort(
-        jax.random.uniform(ks[3], (R, S + 1), minval=2.0, maxval=6.0),
-        axis=-1,
-    )
-    dirs = jax.random.normal(ks[4], (R, 3))
-    pixels = jax.random.uniform(ks[5], (R, 3))
-    return cfg, params, x_enc, dir_enc, t_vals, dirs, pixels
-
-
 def _assert_close(a, b, atol, rtol):
-    band = atol + rtol * jnp.abs(b) + rtol * jnp.max(jnp.abs(b))
-    worst = float(jnp.max(jnp.abs(a - b) / band))
+    worst = normalized_err(a, b, atol, rtol)
     assert worst < 1.0, worst
 
 
-@pytest.mark.parametrize(
-    "dtype,atol,rtol",
-    [("float32", 1e-6, 1e-3), ("bfloat16", 2e-3, 3e-2)],
-)
-def test_fused_level_train_hardware_parity(dtype, atol, rtol):
-    cfg, params, x_enc, dir_enc, t_vals, dirs, pixels = _inputs(dtype)
+@pytest.mark.parametrize("dtype", ["float32", "bfloat16"])
+def test_fused_level_train_hardware_parity(dtype):
+    atol, rtol = PARITY_BANDS[dtype]
+    cfg, params, x_enc, dir_enc, t_vals, dirs, pixels = parity_inputs(dtype)
     R = pixels.shape[0]
     mask = jnp.ones((R,))
     lw = 0.1
@@ -83,8 +52,8 @@ def test_fused_level_train_hardware_parity(dtype, atol, rtol):
         params, cfg, x_enc, dir_enc, t_vals, dirs, pixels, gsc, True
     )
     (_, (comp_o, wts_o)), grads = jax.value_and_grad(
-        lambda p: _oracle_level(p, cfg, x_enc, dir_enc, t_vals, dirs,
-                                pixels, mask, lw, True),
+        lambda p: oracle_level_loss(p, cfg, x_enc, dir_enc, t_vals, dirs,
+                                    pixels, mask, lw, True),
         has_aux=True,
     )(params)
     _assert_close(comp, comp_o, atol, rtol)
@@ -95,7 +64,7 @@ def test_fused_level_train_hardware_parity(dtype, atol, rtol):
 
 
 def test_fused_level_render_hardware_parity():
-    cfg, params, x_enc, dir_enc, t_vals, dirs, _ = _inputs("float32")
+    cfg, params, x_enc, dir_enc, t_vals, dirs, _ = parity_inputs("float32")
     comp, acc, wts = fused_level_render(
         params, cfg, x_enc, dir_enc, t_vals, dirs, True
     )
@@ -118,26 +87,18 @@ def test_fused_level_non128_samples_lowers_on_hardware(samples):
     S=64/256 hit 'unsupported shape cast') — the kernel must fall back to
     the row-major composite and still compile + run. Regression for the
     round-4 bench_quality breakage."""
-    cfg = Config(compute_dtype="float32", num_samples=samples)
-    S, R = samples, 16
-    ks = jax.random.split(jax.random.PRNGKey(0), 6)
-    params = mlp_lib.init_mlp(ks[0], cfg)
-    x_enc = jax.random.normal(ks[1], (R, S, cfg.location_features)) * 0.5
-    dir_enc = jax.random.normal(ks[2], (R, cfg.direction_features)) * 0.5
-    t_vals = jnp.sort(
-        jax.random.uniform(ks[3], (R, S + 1), minval=2.0, maxval=6.0),
-        axis=-1,
+    cfg, params, x_enc, dir_enc, t_vals, dirs, pixels = parity_inputs(
+        "float32", num_samples=samples, num_rays=16
     )
-    dirs = jax.random.normal(ks[4], (R, 3))
-    pixels = jax.random.uniform(ks[5], (R, 3))
+    R = pixels.shape[0]
     mask = jnp.ones((R,))
     gsc = (0.1 * 2.0 * mask / jnp.maximum(jnp.sum(mask), 1e-10))[:, None]
     comp, _, wts, dp = fused_level_train(
         params, cfg, x_enc, dir_enc, t_vals, dirs, pixels, gsc, True
     )
     (_, (comp_o, wts_o)), grads = jax.value_and_grad(
-        lambda p: _oracle_level(p, cfg, x_enc, dir_enc, t_vals, dirs,
-                                pixels, mask, 0.1, True),
+        lambda p: oracle_level_loss(p, cfg, x_enc, dir_enc, t_vals, dirs,
+                                    pixels, mask, 0.1, True),
         has_aux=True,
     )(params)
     # atol 1e-5: near-zero db values accumulate over up to 4096 rows in a
