@@ -55,11 +55,18 @@ def main():
                              "reports BOTH the best and the median")
     parser.add_argument("--warmup", type=int, default=1,
                         help="warmup multi-step dispatches")
-    parser.add_argument("--fuse-ipe", action="store_true",
+    # Tri-state overrides: unset -> Config defaults (fast_ipe defaults
+    # TRUE there — passing store_true defaults here would silently
+    # override it back off).
+    parser.add_argument("--fuse-ipe", action=argparse.BooleanOptionalAction,
+                        default=None,
                         help="run the IPE inside the fused kernel")
-    parser.add_argument("--fast-ipe", action="store_true",
+    parser.add_argument("--fast-ipe", action=argparse.BooleanOptionalAction,
+                        default=None,
                         help="polynomial IPE transcendentals "
                              "(ops/fastmath.py)")
+    parser.add_argument("--probes", type=str, default="",
+                        help="kernel probes, e.g. 'fl_il=4,fl_tile=4096'")
     args = parser.parse_args()
 
     import jax
@@ -82,8 +89,13 @@ def main():
         init_train_state, make_jitted_multi_step,
     )
 
-    cfg = Config(batch_size=args.batch_size, fuse_ipe=args.fuse_ipe,
-                 fast_ipe=args.fast_ipe)
+    overrides = {
+        k: v for k, v in
+        (("fuse_ipe", args.fuse_ipe), ("fast_ipe", args.fast_ipe))
+        if v is not None
+    }
+    cfg = Config(batch_size=args.batch_size, kernel_probes=args.probes,
+                 **overrides)
     state = init_train_state(cfg)
     rays, pixels = _example_batch(cfg, cfg.batch_size)
     # One dispatch per window: lax.scan over a [steps, batch, ...] stack of

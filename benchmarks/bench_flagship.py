@@ -39,6 +39,9 @@ def main():
     p.add_argument("--ss", type=int, default=4, help="supersampling factor")
     p.add_argument("--steps-per-call", type=int, default=250,
                    help="multi-step scan length per dispatch")
+    p.add_argument("--num-samples", type=int, default=128,
+                   help="samples per level (the 512^2 diagnosis sweep)")
+    p.add_argument("--render-chunk", type=int, default=8192)
     args = p.parse_args()
 
     import jax
@@ -120,8 +123,8 @@ def main():
         lr_init=5e-4, lr_final=5e-6, lr_delay_steps=2500,
         lr_delay_mult=0.01,
         max_steps=args.steps,
-        num_samples=128, num_levels=2, net_depth=8, net_width=256,
-        net_width_condition=128,
+        num_samples=args.num_samples, num_levels=2, net_depth=8,
+        net_width=256, net_width_condition=128,
     )
     ds = create_dataset("train", root, cfg)
     state = init_train_state(cfg)
@@ -136,7 +139,7 @@ def main():
             r = Rays(*[jnp.asarray(np.asarray(x).reshape(-1, x.shape[-1]))
                        for x in r])
             rgb, _, _ = render_image(render_fn, params, r, size, size,
-                                     chunk=8192)
+                                     chunk=args.render_chunk)
             m = evaluate_image(rgb, gts_point[i])
             views.append({
                 "image": i,

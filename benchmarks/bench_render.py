@@ -34,8 +34,11 @@ def main():
     p.add_argument("--windows", type=int, default=3,
                    help="independently timed windows (best + median "
                         "reported)")
-    p.add_argument("--fuse-ipe", action="store_true")
-    p.add_argument("--fast-ipe", action="store_true")
+    # Tri-state: unset -> Config defaults (fast_ipe defaults True there).
+    p.add_argument("--fuse-ipe", action=argparse.BooleanOptionalAction,
+                   default=None)
+    p.add_argument("--fast-ipe", action=argparse.BooleanOptionalAction,
+                   default=None)
     p.add_argument("--probes", type=str, default="",
                    help="kernel probes, e.g. 'fr_tile=8192,fr_il=8'")
     args = p.parse_args()
@@ -52,8 +55,13 @@ def main():
     from nerf_or_nothing_tpu.eval import make_render_fn
     from nerf_or_nothing_tpu.models import mlp as mlp_lib
 
-    cfg = Config(batch_size=args.chunk, fuse_ipe=args.fuse_ipe,
-                 fast_ipe=args.fast_ipe, kernel_probes=args.probes)
+    overrides = {
+        k: v for k, v in
+        (("fuse_ipe", args.fuse_ipe), ("fast_ipe", args.fast_ipe))
+        if v is not None
+    }
+    cfg = Config(batch_size=args.chunk, kernel_probes=args.probes,
+                 **overrides)
     params = mlp_lib.init_mlp(jax.random.PRNGKey(0), cfg)
     rays, _ = _example_batch(cfg, args.chunk)
     render_fn = make_render_fn(cfg)

@@ -66,8 +66,11 @@ def main():
     p.add_argument("--steps", type=int, default=20)
     p.add_argument("--batch-size", type=int, default=1024)
     p.add_argument("--keep-trace", type=str, default="")
-    p.add_argument("--fuse-ipe", action="store_true")
-    p.add_argument("--fast-ipe", action="store_true")
+    # Tri-state: unset -> Config defaults (fast_ipe defaults True there).
+    p.add_argument("--fuse-ipe", action=argparse.BooleanOptionalAction,
+                   default=None)
+    p.add_argument("--fast-ipe", action=argparse.BooleanOptionalAction,
+                   default=None)
     p.add_argument(
         "--probes", type=str, default="",
         help="kernel perf-attribution probes, e.g. "
@@ -88,8 +91,13 @@ def main():
         init_train_state, make_jitted_train_step,
     )
 
-    cfg = Config(batch_size=args.batch_size, fuse_ipe=args.fuse_ipe,
-                 fast_ipe=args.fast_ipe, kernel_probes=args.probes)
+    overrides = {
+        k: v for k, v in
+        (("fuse_ipe", args.fuse_ipe), ("fast_ipe", args.fast_ipe))
+        if v is not None
+    }
+    cfg = Config(batch_size=args.batch_size, kernel_probes=args.probes,
+                 **overrides)
     state = init_train_state(cfg)
     rays, pixels = _example_batch(cfg, cfg.batch_size)
     step = make_jitted_train_step(cfg)

@@ -139,9 +139,11 @@ class Config:
     # sin/cos/exp accurate to ~1e-7 in the live-frequency regime — far
     # below the bf16 feature quantum (~4e-3) — at a fraction of the
     # library routines' VPU cost. The encode is transcendental-bound
-    # (0.34 ms/step at flagship shapes, docs/PERF.md r4). Applies to the
-    # XLA encode fusion AND the in-kernel (fuse_ipe) path.
-    fast_ipe: bool = False
+    # (0.34 ms/step at flagship shapes, docs/PERF.md r4); this halved it
+    # on-chip (0.816 -> 0.843 of roofline, round 5). Applies to the XLA
+    # encode fusion AND the in-kernel (fuse_ipe) path. Default ON; set
+    # False for bit-exact library transcendentals.
+    fast_ipe: bool = True
     debug_nans: bool = False        # jax_debug_nans sanitizer mode (§5.2)
     # checkify-instrumented train step: traps NaN/inf generation and OOB
     # gathers inside jit and raises with a source location (the "compute

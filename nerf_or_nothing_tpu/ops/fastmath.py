@@ -53,6 +53,15 @@ _E5 = 1.33335581464284411e-3
 _E6 = 1.54035303933816099e-4
 
 
+# cos(r) on [-pi/2, pi/2], even polynomial in r^2 (Taylor deg 10; max abs
+# error ~2.7e-7 at the interval ends).
+_C2 = -0.5
+_C4 = 4.16666666666666644e-2
+_C6 = -1.38888888888888894e-3
+_C8 = 2.48015873015873016e-5
+_C10 = -2.75573192239858925e-7
+
+
 def _sin_poly(r):
     """sin(r) for r in ~[-pi/2 - eps, pi/2 + eps]."""
     r2 = r * r
@@ -62,6 +71,17 @@ def _sin_poly(r):
     p = p * r2 + _S2
     p = p * r2 + _S1
     return r + r * (r2 * p)
+
+
+def _cos_poly(r):
+    """cos(r) for r in ~[-pi/2 - eps, pi/2 + eps]."""
+    r2 = r * r
+    p = _C10
+    p = p * r2 + _C8
+    p = p * r2 + _C6
+    p = p * r2 + _C4
+    p = p * r2 + _C2
+    return 1.0 + r2 * p
 
 
 def fast_sin(x):
@@ -99,6 +119,24 @@ def fast_cos(x):
     odd = lax.bitwise_and(k_int, 1)
     sign = 1.0 - 2.0 * odd.astype(jnp.float32)
     return sign * _sin_poly(r)
+
+
+def fast_sincos(x):
+    """(sin(x), cos(x)) with ONE shared range reduction.
+
+    sin(k*pi + r) = (-1)^k sin(r) and cos(k*pi + r) = (-1)^k cos(r): the
+    k, the reduced residual, and the parity sign are all shared — the
+    pair costs ~30 VPU ops vs ~42 for separate fast_sin + fast_cos. This
+    is the IPE encode's shape: every frequency needs both."""
+    x = x.astype(jnp.float32)
+    k = jnp.floor(x * _INV_PI + 0.5)
+    r = x - k * _PI_A
+    r = r - k * _PI_B
+    r = r - k * _PI_C
+    k_int = k.astype(jnp.int32)
+    odd = lax.bitwise_and(k_int, 1)
+    sign = 1.0 - 2.0 * odd.astype(jnp.float32)
+    return sign * _sin_poly(r), sign * _cos_poly(r)
 
 
 def fast_exp_neg(x):

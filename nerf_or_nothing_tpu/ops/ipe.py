@@ -187,6 +187,11 @@ def integrated_pos_enc(
             fast_cos, fast_exp_neg, fast_sin,
         )
 
+        # Separate sin/cos, NOT the shared-reduction fast_sincos: sharing
+        # k/r/sign between the halves measured 191.4k rays/s on v5e vs
+        # 197.9k for the independent chains (the diamond dependency costs
+        # more in the XLA fusion's schedule than the duplicated ~10
+        # reduction ops save; docs/PERF.md round 5).
         damp = fast_exp_neg(0.5 * y_var)
         sin_y, cos_y = fast_sin(y), fast_cos(y)
     else:

@@ -143,6 +143,14 @@ def test_fastmath_accuracy_vs_float64():
         np.asarray(fast_cos(jnp.asarray(x))) - np.cos(x.astype(np.float64))
     )) < 5e-7
 
+    from nerf_or_nothing_tpu.ops.fastmath import fast_sincos
+
+    s, c = fast_sincos(jnp.asarray(x))
+    assert np.max(np.abs(np.asarray(s) - np.sin(x.astype(np.float64)))) \
+        < 5e-7
+    assert np.max(np.abs(np.asarray(c) - np.cos(x.astype(np.float64)))) \
+        < 1e-6
+
     xe = rng.uniform(0, 80, 100_000).astype(np.float32)
     ref = np.exp(-xe.astype(np.float64))
     got = np.asarray(fast_exp_neg(jnp.asarray(xe)))
