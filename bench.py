@@ -65,6 +65,14 @@ def main():
                         default=None,
                         help="polynomial IPE transcendentals "
                              "(ops/fastmath.py)")
+    parser.add_argument("--pair-ipe",
+                        action=argparse.BooleanOptionalAction, default=None,
+                        help="transposed sin/cos-half IPE layout "
+                             "(integrated_pos_enc_split)")
+    parser.add_argument("--xt-ipe",
+                        action=argparse.BooleanOptionalAction, default=None,
+                        help="one-fusion transposed [96, N] IPE "
+                             "(integrated_pos_enc_xt)")
     parser.add_argument("--probes", type=str, default="",
                         help="kernel probes, e.g. 'fl_il=4,fl_tile=4096'")
     args = parser.parse_args()
@@ -91,7 +99,8 @@ def main():
 
     overrides = {
         k: v for k, v in
-        (("fuse_ipe", args.fuse_ipe), ("fast_ipe", args.fast_ipe))
+        (("fuse_ipe", args.fuse_ipe), ("fast_ipe", args.fast_ipe),
+         ("pair_ipe", args.pair_ipe), ("xt_ipe", args.xt_ipe))
         if v is not None
     }
     cfg = Config(batch_size=args.batch_size, kernel_probes=args.probes,

@@ -71,6 +71,10 @@ def main():
                    default=None)
     p.add_argument("--fast-ipe", action=argparse.BooleanOptionalAction,
                    default=None)
+    p.add_argument("--pair-ipe", action=argparse.BooleanOptionalAction,
+                   default=None)
+    p.add_argument("--xt-ipe", action=argparse.BooleanOptionalAction,
+                   default=None)
     p.add_argument(
         "--probes", type=str, default="",
         help="kernel perf-attribution probes, e.g. "
@@ -93,7 +97,8 @@ def main():
 
     overrides = {
         k: v for k, v in
-        (("fuse_ipe", args.fuse_ipe), ("fast_ipe", args.fast_ipe))
+        (("fuse_ipe", args.fuse_ipe), ("fast_ipe", args.fast_ipe),
+         ("pair_ipe", args.pair_ipe), ("xt_ipe", args.xt_ipe))
         if v is not None
     }
     cfg = Config(batch_size=args.batch_size, kernel_probes=args.probes,

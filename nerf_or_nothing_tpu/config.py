@@ -144,6 +144,27 @@ class Config:
     # encode fusion AND the in-kernel (fuse_ipe) path. Default ON; set
     # False for bit-exact library transcendentals.
     fast_ipe: bool = True
+    # Emit the IPE as TRANSPOSED sin/cos halves ([3F, N] each) consumed
+    # by the fused kernel with sin-rows-first permuted weights
+    # (ops/ipe.integrated_pos_enc_split + kernels/fused_level x_mode=
+    # "pair"). MEASURED REJECTED on v5e (train 0.792 / render 0.516 vs
+    # 0.844 / 0.669 of roofline): XLA materializes the half-construction
+    # broadcasts as relayouts AND the split K=48 matmuls cost +0.72
+    # ms/level in-kernel (docs/PERF.md round 5). Kept as a probe.
+    pair_ipe: bool = False
+    # Emit the IPE directly as the transposed [6F, N] interleaved feature
+    # tensor in ONE fusion (single sin, per-row scale/phase columns —
+    # ops/ipe.integrated_pos_enc_xt): the [N, 96] intermediate, the
+    # sin/cos concat fusion, and the [96, N] relayout never exist.
+    # Kernel consumes it in the ordinary "t" mode (no weight permute).
+    xt_ipe: bool = False
+    # In-kernel IPE on the RENDER (inference) path specifically: the
+    # forward-only kernel hides the VPU encode under the MXU better than
+    # the train kernel does — measured 479k vs 471k rays/s on v5e
+    # (docs/PERF.md round 5) — while on the TRAIN path in-kernel IPE
+    # loses (192.2k vs 197.9k). Requires diag_covariance; ignored
+    # elsewhere.
+    fuse_ipe_render: bool = True
     debug_nans: bool = False        # jax_debug_nans sanitizer mode (§5.2)
     # checkify-instrumented train step: traps NaN/inf generation and OOB
     # gathers inside jit and raises with a source location (the "compute

@@ -303,13 +303,29 @@ def _encode_chunk(cfg: Config, dt, mT, vT):
         # sin/cos throughput measured ~3x below XLA's encode fusion
         # (docs/PERF.md r3 — the reason in-kernel IPE lost that round);
         # the ~10-FMA kernels sidestep that entirely.
-        from nerf_or_nothing_tpu.ops.fastmath import (
-            fast_cos, fast_exp_neg, fast_sin,
-        )
+        if cfg.probe("fl_enc") == "sep":
+            # probe: independent sin/cos chains (the XLA-fusion winner;
+            # in Mosaic the shared reduction is faster — see below)
+            from nerf_or_nothing_tpu.ops.fastmath import (
+                fast_cos, fast_exp_neg, fast_sin,
+            )
 
-        damp = fast_exp_neg(v * 0.5 * (scales * scales))
-        s48 = (damp * fast_sin(y)).astype(dt)
-        c48 = (damp * fast_cos(y)).astype(dt)
+            damp = fast_exp_neg(v * 0.5 * (scales * scales))
+            s48 = (damp * fast_sin(y)).astype(dt)
+            c48 = (damp * fast_cos(y)).astype(dt)
+        else:
+            # Shared-reduction sincos: the OPPOSITE choice from the XLA
+            # encode fusion (ops/ipe.py) — Mosaic schedules the diamond
+            # fine and the ~25% fewer VPU ops win: render 484.2k vs
+            # 478.7k rays/s on v5e (docs/PERF.md round 5).
+            from nerf_or_nothing_tpu.ops.fastmath import (
+                fast_exp_neg, fast_sincos,
+            )
+
+            damp = fast_exp_neg(v * 0.5 * (scales * scales))
+            sin_y, cos_y = fast_sincos(y)
+            s48 = (damp * sin_y).astype(dt)
+            c48 = (damp * cos_y).astype(dt)
     else:
         damp = jnp.exp(v * (-0.5) * (scales * scales))
         s48 = (damp * jnp.sin(y)).astype(dt)
@@ -356,10 +372,10 @@ def _unpermute_ipe_dw(d_params, cfg: Config):
 
 
 def _level_kernel(cfg: Config, dt, s: int, white_bkgd: bool, interleave: int,
-                  fuse_ipe: bool, *refs):
+                  x_mode: str, *refs):
     n_layers = len(layer_dims(cfg))
-    if fuse_ipe:
-        m_ref, v_ref, d_ref, delta_ref, pix_ref, gsc_ref = refs[:6]
+    if x_mode in ("mv", "pair"):
+        a_ref, b_ref, d_ref, delta_ref, pix_ref, gsc_ref = refs[:6]
         rest = refs[6:]
     else:
         x_ref, d_ref, delta_ref, pix_ref, gsc_ref = refs[:5]
@@ -373,11 +389,11 @@ def _level_kernel(cfg: Config, dt, s: int, white_bkgd: bool, interleave: int,
 
     ws = [w[...] for w in w_refs]
     bs = [b[...] for b in b_refs]
-    if fuse_ipe:
+    if x_mode == "mv":
         # In-kernel IPE: chunks of transposed [3, rows] sample mean/var ->
         # (sin, cos) feature halves; the [R*S, 96] tensor never exists in
         # HBM and the XLA encode fusion disappears entirely.
-        mT, vT = m_ref[...], v_ref[...]
+        mT, vT = a_ref[...], b_ref[...]
         chunk = mT.shape[1] // interleave
         xs = [
             _encode_chunk(
@@ -385,6 +401,19 @@ def _level_kernel(cfg: Config, dt, s: int, white_bkgd: bool, interleave: int,
                 mT[:, i * chunk : (i + 1) * chunk],
                 vT[:, i * chunk : (i + 1) * chunk],
             )
+            for i in range(interleave)
+        ]
+    elif x_mode == "pair":
+        # XLA-encoded TRANSPOSED sin/cos halves ([3F, tile] each,
+        # ops.ipe.integrated_pos_enc_split): consumed exactly like the
+        # in-kernel-IPE halves (sin-rows-first permuted weights, split
+        # matmuls) — the interleaved [N, 96] feature tensor and its
+        # [96, N] relayout never exist in HBM.
+        s48, c48 = a_ref[...], b_ref[...]
+        chunk = s48.shape[1] // interleave
+        xs = [
+            (s48[:, i * chunk : (i + 1) * chunk],
+             c48[:, i * chunk : (i + 1) * chunk])
             for i in range(interleave)
         ]
     else:
@@ -621,12 +650,12 @@ def _level_kernel_twopass(cfg: Config, dt, s: int, white_bkgd: bool,
 
 
 def _render_kernel(cfg: Config, dt, s: int, white_bkgd: bool,
-                   interleave: int, fuse_ipe: bool, *refs):
+                   interleave: int, x_mode: str, *refs):
     """Forward-only whole level: MLP + activations + compositing, one
     launch (the render/eval counterpart of ``_level_kernel``)."""
     n_layers = len(layer_dims(cfg))
-    if fuse_ipe:
-        m_ref, v_ref, d_ref, delta_ref = refs[:4]
+    if x_mode in ("mv", "pair"):
+        a_ref, b_ref, d_ref, delta_ref = refs[:4]
         rest = refs[4:]
     else:
         x_ref, d_ref, delta_ref = refs[:3]
@@ -637,8 +666,8 @@ def _render_kernel(cfg: Config, dt, s: int, white_bkgd: bool,
 
     ws = [w[...] for w in w_refs]
     bs = [b[...] for b in b_refs]
-    if fuse_ipe:
-        mT, vT = m_ref[...], v_ref[...]
+    if x_mode == "mv":
+        mT, vT = a_ref[...], b_ref[...]
         chunk = mT.shape[1] // interleave
         xs = [
             _encode_chunk(
@@ -646,6 +675,14 @@ def _render_kernel(cfg: Config, dt, s: int, white_bkgd: bool,
                 mT[:, i * chunk : (i + 1) * chunk],
                 vT[:, i * chunk : (i + 1) * chunk],
             )
+            for i in range(interleave)
+        ]
+    elif x_mode == "pair":
+        s48, c48 = a_ref[...], b_ref[...]
+        chunk = s48.shape[1] // interleave
+        xs = [
+            (s48[:, i * chunk : (i + 1) * chunk],
+             c48[:, i * chunk : (i + 1) * chunk])
             for i in range(interleave)
         ]
     else:
@@ -683,25 +720,26 @@ def _pad_cols(a, tile):
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "tile", "s", "white_bkgd", "interleave",
-                     "fuse_ipe"),
+                     "x_mode"),
 )
 def _fused_render_impl(params, xs_in, d, delta, *, cfg: Config, tile: int,
                        s: int, white_bkgd: bool, interleave: int,
-                       fuse_ipe: bool = False):
-    # xs_in: the [F, N] transposed feature tensor, or (mT, vT) [3, N]
-    # pairs when the IPE runs in-kernel.
-    n = (xs_in[0] if fuse_ipe else xs_in).shape[1]
+                       x_mode: str = "t"):
+    # xs_in: the [F, N] transposed feature tensor ("t"), (mT, vT) [3, N]
+    # mean/variance pairs ("mv", in-kernel IPE), or (s48, c48) [3F, N]
+    # encoded halves ("pair").
+    n = (xs_in[0] if x_mode != "t" else xs_in).shape[1]
     num_rays = n // s
     dims, w_specs, b_specs = _weight_specs(cfg)
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
-    if fuse_ipe:
+    if x_mode != "t":
         params = _permute_ipe_weights(params, cfg)
         xp = [_pad_cols(a, tile) for a in xs_in]
         x_specs = [
-            pl.BlockSpec((3, tile), lambda i, *_: (0, i),
+            pl.BlockSpec((a.shape[0], tile), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM)
-            for _ in range(2)
+            for a in xp
         ]
     else:
         xp = [_pad_cols(xs_in, tile)]
@@ -736,7 +774,7 @@ def _fused_render_impl(params, xs_in, d, delta, *, cfg: Config, tile: int,
     flops_rows = 2 * sum(i * o for i, o in dims)
     comp, acc_out, weights = pl.pallas_call(
         functools.partial(_render_kernel, cfg, dt, s, white_bkgd,
-                          interleave, fuse_ipe),
+                          interleave, x_mode),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_specs,
@@ -744,7 +782,7 @@ def _fused_render_impl(params, xs_in, d, delta, *, cfg: Config, tile: int,
         cost_estimate=pl.CostEstimate(
             flops=flops_rows * n_pad,
             bytes_accessed=n_pad * (cfg.location_features + 8) * 2,
-            transcendentals=n_pad * (100 if fuse_ipe else 4),
+            transcendentals=n_pad * (100 if x_mode == "mv" else 4),
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -775,7 +813,7 @@ def fused_level_render(params: Params, cfg: Config, x_enc,
     """
     num_rays, s = t_vals.shape[0], t_vals.shape[1] - 1
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    x2d, fuse_ipe, _ = _x_inputs(cfg, dt, x_enc, means_covs)
+    x2d, x_mode, _ = _x_inputs(cfg, dt, x_enc, means_covs)
     d2d = dir_enc.reshape(num_rays, dir_enc.shape[-1]).astype(dt)
     d_norm = jnp.linalg.norm(dirs, axis=-1, keepdims=True)
     delta = ((t_vals[..., 1:] - t_vals[..., :-1]) * d_norm).astype(
@@ -796,33 +834,34 @@ def fused_level_render(params: Params, cfg: Config, x_enc,
     )
     return _fused_render_impl(
         params, x2d, d2d, delta, cfg=cfg, tile=tile, s=s,
-        white_bkgd=white_bkgd, interleave=interleave, fuse_ipe=fuse_ipe,
+        white_bkgd=white_bkgd, interleave=interleave, x_mode=x_mode,
     )
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "tile", "s", "white_bkgd", "interleave",
-                     "fuse_ipe", "twopass"),
+                     "x_mode", "twopass"),
 )
 def _fused_level_impl(params, xs_in, d, delta, pixels, g_scale, *,
                       cfg: Config, tile: int, s: int, white_bkgd: bool,
-                      interleave: int, fuse_ipe: bool = False,
+                      interleave: int, x_mode: str = "t",
                       twopass: bool = False):
-    # xs_in: the [F, N] TRANSPOSED feature tensor, or (mT, vT) [3, N]
-    # sample mean/variance pairs when the IPE runs in-kernel.
-    n = (xs_in[0] if fuse_ipe else xs_in).shape[1]
+    # xs_in: the [F, N] TRANSPOSED feature tensor ("t"), (mT, vT) [3, N]
+    # mean/variance pairs ("mv", in-kernel IPE), or (s48, c48) [3F, N]
+    # XLA-encoded halves ("pair").
+    n = (xs_in[0] if x_mode != "t" else xs_in).shape[1]
     num_rays = n // s
     dims, w_specs, b_specs = _weight_specs(cfg)
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
-    if fuse_ipe:
+    if x_mode != "t":
         params_in = _permute_ipe_weights(params, cfg)
         xp = [_pad_cols(a, tile) for a in xs_in]
         x_specs = [
-            pl.BlockSpec((3, tile), lambda i, *_: (0, i),
+            pl.BlockSpec((a.shape[0], tile), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM)
-            for _ in range(2)
+            for a in xp
         ]
     else:
         params_in = params
@@ -890,7 +929,7 @@ def _fused_level_impl(params, xs_in, d, delta, pixels, g_scale, *,
     else:
         scratch_shapes = ()
         kernel = functools.partial(
-            _level_kernel, cfg, dt, s, white_bkgd, interleave, fuse_ipe
+            _level_kernel, cfg, dt, s, white_bkgd, interleave, x_mode
         )
     flops_rows = 3 * 2 * sum(i * o for i, o in dims)
     outs = pl.pallas_call(
@@ -903,7 +942,7 @@ def _fused_level_impl(params, xs_in, d, delta, pixels, g_scale, *,
         cost_estimate=pl.CostEstimate(
             flops=flops_rows * n_pad,
             bytes_accessed=n_pad * (cfg.location_features + 16) * 4,
-            transcendentals=n_pad * (300 if fuse_ipe else 8),
+            transcendentals=n_pad * (300 if x_mode == "mv" else 8),
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -918,7 +957,7 @@ def _fused_level_impl(params, xs_in, d, delta, pixels, g_scale, *,
     dws = outs[:n_layers]
     dbs = [b[0] for b in outs[n_layers : 2 * n_layers]]
     d_params = [(dw, db) for dw, db in zip(dws, dbs)]
-    if fuse_ipe:
+    if x_mode != "t":  # sin-rows-first weight permutation was applied
         d_params = _unpermute_ipe_dw(d_params, cfg)
     comp = outs[2 * n_layers][:num_rays]
     acc_out = outs[2 * n_layers + 1][:num_rays, 0]
@@ -927,21 +966,34 @@ def _fused_level_impl(params, xs_in, d, delta, pixels, g_scale, *,
 
 
 def _x_inputs(cfg: Config, dt, x_enc, means_covs):
-    """The kernel's encoded-position inputs + the fuse_ipe mode flag.
+    """The kernel's encoded-position inputs + the x-layout mode.
 
-    With ``means_covs`` the IPE runs INSIDE the kernel: pass the sample
-    mean/variance transposed ([3, N], N minor — free under XLA's layouts);
-    otherwise pass the precomputed [R, S, F] features transposed (XLA's
-    encode fusion is feature-major, so this transpose also fuses away).
+    Modes:
+      "mv"  (``means_covs`` given): the IPE runs INSIDE the kernel; pass
+            the sample mean/variance transposed ([3, N], N minor — free
+            under XLA's layouts).
+      "pair" (``x_enc`` is a (sin, cos) tuple of [3F, N] halves from
+            ``ops.ipe.integrated_pos_enc_split``): XLA encodes, but the
+            interleaved [N, 96] tensor and its [96, N] relayout never
+            exist (~1.08 ms/level of layout work on the v5e render path).
+      "t"   (``x_enc`` is [R, S, F] features): transposed to [F, N]
+            (XLA's encode fusion is feature-major, so the transpose
+            fuses away).
     """
     if means_covs is not None:
         means, covs = means_covs
         n = means.shape[0] * means.shape[1]
         mT = means.reshape(n, 3).T.astype(jnp.float32)
         vT = covs.reshape(n, 3).T.astype(jnp.float32)
-        return (mT, vT), True, n
+        return (mT, vT), "mv", n
+    if isinstance(x_enc, tuple):
+        s48, c48 = x_enc
+        return (s48.astype(dt), c48.astype(dt)), "pair", s48.shape[1]
+    if x_enc.ndim == 2:
+        # Already the transposed [F, N] tensor (integrated_pos_enc_xt).
+        return x_enc.astype(dt), "t", x_enc.shape[1]
     num_rays, s, feat = x_enc.shape
-    return x_enc.reshape(num_rays * s, feat).T.astype(dt), False, (
+    return x_enc.reshape(num_rays * s, feat).T.astype(dt), "t", (
         num_rays * s
     )
 
@@ -954,7 +1006,9 @@ def fused_level_train(params: Params, cfg: Config, x_enc,
     """One level's full train pass (fwd + loss grad + bwd) in one kernel.
 
     Args:
-      x_enc: [R, S, F] IPE features (or None with ``means_covs``);
+      x_enc: [R, S, F] IPE features, a ([3F, N], [3F, N]) sin/cos-half
+        tuple (``ops.ipe.integrated_pos_enc_split``), or None with
+        ``means_covs``;
       dir_enc: [R, Fd]; t_vals: [R, S+1];
       dirs: [R, 3] unnormalized directions (their norm scales delta);
       pixels: [R, 3]; g_scale: [R, 1] per-ray dL/dcomp scale
@@ -970,7 +1024,7 @@ def fused_level_train(params: Params, cfg: Config, x_enc,
     """
     num_rays, s = t_vals.shape[0], t_vals.shape[1] - 1
     dt = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-    xs_in, fuse_ipe, _ = _x_inputs(cfg, dt, x_enc, means_covs)
+    xs_in, x_mode, _ = _x_inputs(cfg, dt, x_enc, means_covs)
     d2d = dir_enc.reshape(num_rays, dir_enc.shape[-1]).astype(dt)
     d_norm = jnp.linalg.norm(dirs, axis=-1, keepdims=True)
     delta = ((t_vals[..., 1:] - t_vals[..., :-1]) * d_norm).astype(
@@ -991,11 +1045,11 @@ def fused_level_train(params: Params, cfg: Config, x_enc,
     )
     # Two-pass backward (chain phase / dW phase over a (tile, 2) grid,
     # see _level_kernel_twopass). Opt-in via fl_variant=twopass while
-    # under measurement; requires the out-of-kernel IPE path.
-    twopass = cfg.probe("fl_variant") == "twopass" and not fuse_ipe
+    # under measurement; requires the plain transposed-x input mode.
+    twopass = cfg.probe("fl_variant") == "twopass" and x_mode == "t"
     return _fused_level_impl(
         params, xs_in, d2d, delta, pixels.astype(jnp.float32),
         g_scale.astype(jnp.float32), cfg=cfg, tile=tile, s=s,
-        white_bkgd=white_bkgd, interleave=interleave, fuse_ipe=fuse_ipe,
+        white_bkgd=white_bkgd, interleave=interleave, x_mode=x_mode,
         twopass=twopass,
     )

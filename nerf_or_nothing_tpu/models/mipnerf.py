@@ -74,11 +74,29 @@ def sample_level(cfg: Config, level_key, rays: Rays, i_level: int, t_vals,
     )
 
 
-def encode_samples(cfg: Config, means, covs, in_kernel: bool, dtype=None):
-    """IPE features, or the raw (means, covs) when the IPE runs inside the
-    fused kernel. Returns (x_enc, means_covs) — exactly one is non-None."""
-    if in_kernel and cfg.fuse_ipe and cfg.diag_covariance:
+def encode_samples(cfg: Config, means, covs, in_kernel: bool, dtype=None,
+                   render: bool = False):
+    """IPE features for the MLP, in the form the consumer wants.
+
+    Returns (x_enc, means_covs) — exactly one is non-None. ``x_enc`` is
+    the interleaved [R, S, F] tensor, or (with ``cfg.pair_ipe`` /
+    ``cfg.xt_ipe`` on the fused-kernel path) a transposed layout; with
+    ``cfg.fuse_ipe`` — or ``cfg.fuse_ipe_render`` on the inference path
+    (``render=True``) — the raw (means, covs) pass through and the
+    kernel encodes internally."""
+    if (in_kernel and cfg.diag_covariance
+            and (cfg.fuse_ipe or (render and cfg.fuse_ipe_render))):
         return None, (means, covs)
+    if in_kernel and cfg.xt_ipe:
+        return ipe.integrated_pos_enc_xt(
+            (means, covs), cfg.min_deg_point, cfg.max_deg_point,
+            diag=cfg.diag_covariance, dtype=dtype, fast=cfg.fast_ipe,
+        ), None
+    if in_kernel and cfg.pair_ipe:
+        return ipe.integrated_pos_enc_split(
+            (means, covs), cfg.min_deg_point, cfg.max_deg_point,
+            diag=cfg.diag_covariance, dtype=dtype, fast=cfg.fast_ipe,
+        ), None
     x_enc = ipe.integrated_pos_enc(
         (means, covs), cfg.min_deg_point, cfg.max_deg_point,
         diag=cfg.diag_covariance,
@@ -174,7 +192,7 @@ def render_rays(
 
         if fused_render is not None:
             x_enc, means_covs = encode_samples(
-                cfg, means, covs, in_kernel=True, dtype=dt
+                cfg, means, covs, in_kernel=True, dtype=dt, render=True
             )
             comp_rgb, acc, weights = fused_render(
                 params, cfg, x_enc, dir_enc, t_vals, rays.directions,

@@ -22,6 +22,7 @@ N Gaussians (canonical mip-NeRF), not the reference's N-1
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from nerf_or_nothing_tpu.config import RayShape
 
@@ -187,11 +188,14 @@ def integrated_pos_enc(
             fast_cos, fast_exp_neg, fast_sin,
         )
 
-        # Separate sin/cos, NOT the shared-reduction fast_sincos: sharing
-        # k/r/sign between the halves measured 191.4k rays/s on v5e vs
-        # 197.9k for the independent chains (the diamond dependency costs
-        # more in the XLA fusion's schedule than the duplicated ~10
-        # reduction ops save; docs/PERF.md round 5).
+        # Separate sin/cos chains, concat at the END — the measured-best
+        # structure on v5e (197.9k rays/s train). FOUR alternatives each
+        # measured worse (docs/PERF.md round 5): shared-reduction
+        # fast_sincos 191.4k (diamond dependency schedules worse);
+        # split transposed halves (pair_ipe) 185.7k; direct-transposed
+        # [96, N] single-fusion (xt_ipe) 177.1k; pre-transcendental
+        # concat + single sin6 187.0k. XLA materializes every layout
+        # variation as relayouts that cost more than they save.
         damp = fast_exp_neg(0.5 * y_var)
         sin_y, cos_y = fast_sin(y), fast_cos(y)
     else:
@@ -204,6 +208,104 @@ def integrated_pos_enc(
         [damp * sin_y, damp * cos_y], axis=-1
     ).astype(out_dt)                                   # [..., F, 6]
     return feats.reshape(*feats.shape[:-2], -1)
+
+
+def integrated_pos_enc_split(
+    means_covs,
+    min_deg: int,
+    max_deg: int,
+    diag: bool = True,
+    dtype=None,
+    fast: bool = False,
+):
+    """IPE emitted as TRANSPOSED sin/cos halves: ([3F, N], [3F, N]).
+
+    Same math as ``integrated_pos_enc`` but laid out for the fused-level
+    kernel's split-x mode: row 3*j+k of each half is frequency j, axis k,
+    of all N samples — the feature-minor [N, 96] tensor, its
+    per-frequency [sin3|cos3] interleave, and the [96, N] relayout the
+    kernel needs NEVER exist. On the v5e render path that chain (concat
+    fusion + bitcast-transpose) measured 1.08 ms/level of pure layout
+    work (docs/PERF.md round 5). The kernel consumes the halves with
+    sin-rows-first permuted weights (``fused_level._ipe_perm``).
+    """
+    mean, cov = means_covs
+    if not diag:
+        cov = jnp.diagonal(cov, axis1=-2, axis2=-1)
+    out_dt = dtype or mean.dtype
+    F = max_deg - min_deg
+    n = int(np.prod(mean.shape[:-1]))
+    mT = mean.reshape(n, 3).T                      # [3, N]
+    vT = cov.reshape(n, 3).T
+    scales = jnp.asarray(
+        [2.0**i for i in range(min_deg, max_deg)], dtype=mean.dtype
+    )[:, None, None]                               # [F, 1, 1]
+    y = (mT[None] * scales).reshape(3 * F, n)      # [3F, N]
+    y_var = (vT[None] * (scales * scales)).reshape(3 * F, n)
+    if fast:
+        from nerf_or_nothing_tpu.ops.fastmath import (
+            fast_cos, fast_exp_neg, fast_sin,
+        )
+
+        damp = fast_exp_neg(0.5 * y_var)
+        sin_y, cos_y = fast_sin(y), fast_cos(y)
+    else:
+        damp = jnp.exp(-0.5 * y_var)
+        sin_y, cos_y = jnp.sin(y), jnp.cos(y)
+    return (damp * sin_y).astype(out_dt), (damp * cos_y).astype(out_dt)
+
+
+def integrated_pos_enc_xt(
+    means_covs,
+    min_deg: int,
+    max_deg: int,
+    diag: bool = True,
+    dtype=None,
+    fast: bool = False,
+):
+    """IPE emitted DIRECTLY as the transposed [6F, N] feature tensor.
+
+    Row 6i+p*3+k (frequency i, phase p in {sin, cos}, axis k) of all N
+    samples — the exact transposed interleaved layout the fused-level
+    kernel consumes ("t" mode). Built as ONE elementwise expression with
+    per-row scale/phase-shift columns and a single ``sin``
+    (cos = sin(y + pi/2)): no [N, 96] intermediate, no sin/cos concat
+    fusion, no [96, N] relayout — the three together measured
+    1.08 ms/level of layout work on the v5e render path, and the earlier
+    "pair" (split-halves) attempt was WORSE (XLA materialized its
+    [F, 3, N] broadcasts + reshapes as relayouts; docs/PERF.md round 5).
+
+    The mean/cov transposes are bitcasts: XLA lays [N, 3] tensors out
+    plane-major (three full-lane [N] planes), which IS [3, N].
+    """
+    mean, cov = means_covs
+    if not diag:
+        cov = jnp.diagonal(cov, axis1=-2, axis2=-1)
+    out_dt = dtype or mean.dtype
+    F = max_deg - min_deg
+    n = int(np.prod(mean.shape[:-1]))
+    mT = mean.reshape(n, 3).T                     # [3, N] (bitcast)
+    vT = cov.reshape(n, 3).T
+    m96 = jnp.concatenate([mT] * (2 * F), axis=0)  # row j -> axis j % 3
+    v96 = jnp.concatenate([vT] * (2 * F), axis=0)
+    j = np.arange(6 * F)
+    scales = jnp.asarray(
+        np.exp2(min_deg + j // 6), dtype=mean.dtype
+    )[:, None]                                    # [6F, 1]
+    shift = jnp.asarray(
+        ((j % 6) >= 3) * (np.pi / 2.0), dtype=mean.dtype
+    )[:, None]
+    y = m96 * scales + shift
+    y_var = v96 * (scales * scales)
+    if fast:
+        from nerf_or_nothing_tpu.ops.fastmath import (
+            fast_exp_neg, fast_sin,
+        )
+
+        feats = fast_exp_neg(0.5 * y_var) * fast_sin(y)
+    else:
+        feats = jnp.exp(-0.5 * y_var) * jnp.sin(y)
+    return feats.astype(out_dt)                   # [6F, N]
 
 
 def pos_enc(x: jnp.ndarray, min_deg: int, max_deg: int) -> jnp.ndarray:

@@ -373,6 +373,112 @@ def test_fused_level_in_kernel_fast_ipe_matches_autodiff():
         )
 
 
+def test_fused_level_pair_ipe_matches_autodiff():
+    """pair mode: the kernel consumes XLA-encoded transposed sin/cos
+    halves (integrated_pos_enc_split) with permuted weights — gradients
+    must match jax.grad of the oracle on the interleaved encode (same
+    transcendentals, only the layout differs)."""
+    from nerf_or_nothing_tpu.ops import ipe as ipe_lib
+
+    cfg = small_cfg(pair_ipe=True)
+    R, S = 6, cfg.num_samples
+    ks = jax.random.split(jax.random.PRNGKey(13), 6)
+    params = mlp_lib.init_mlp(ks[0], cfg)
+    means = jax.random.normal(ks[1], (R, S, 3)) * 0.5
+    covs = jax.random.uniform(ks[2], (R, S, 3)) * 0.1
+    dir_enc = jax.random.normal(ks[3], (R, cfg.direction_features)) * 0.5
+    t_vals = jnp.sort(
+        jax.random.uniform(ks[4], (R, S + 1), minval=2.0, maxval=6.0),
+        axis=-1,
+    )
+    dirs = jax.random.normal(ks[5], (R, 3))
+    pixels = jax.random.uniform(ks[0], (R, 3))
+    mask = jnp.ones((R,))
+    g_scale = (2.0 * mask / R)[..., None]
+
+    pair = ipe_lib.integrated_pos_enc_split(
+        (means, covs), cfg.min_deg_point, cfg.max_deg_point
+    )
+    comp, acc, weights, d_params = fused_level_train(
+        params, cfg, pair, dir_enc, t_vals, dirs, pixels, g_scale,
+        True, tile=16,
+    )
+
+    def oracle(p):
+        x_enc = ipe_lib.integrated_pos_enc(
+            (means, covs), cfg.min_deg_point, cfg.max_deg_point
+        )
+        return oracle_level(p, cfg, x_enc, dir_enc, t_vals, dirs, pixels,
+                            mask, 1.0, True)
+
+    grads_ref, (comp_ref, acc_ref, w_ref) = jax.grad(
+        oracle, has_aux=True
+    )(params)
+    np.testing.assert_allclose(comp, comp_ref, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(acc, acc_ref, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(weights, w_ref, rtol=1e-4, atol=1e-5)
+    for i, ((dw, db), (dw_r, db_r)) in enumerate(zip(d_params, grads_ref)):
+        np.testing.assert_allclose(
+            dw, dw_r, rtol=2e-4, atol=1e-6, err_msg=f"dW layer {i}"
+        )
+        np.testing.assert_allclose(
+            db, db_r, rtol=2e-4, atol=1e-6, err_msg=f"db layer {i}"
+        )
+
+
+def test_pair_ipe_train_step_matches_unfused():
+    """Full train step with pair_ipe=True == the plain XLA step (f32)."""
+    base = tiny_config(
+        batch_size=16, num_samples=8, num_levels=2, net_depth=3,
+        net_width=32, net_width_condition=16, skip_layer=2, max_deg_point=4,
+        randomized=False, donate_params=False, compute_dtype="float32",
+        use_pallas=True, pair_ipe=True,
+    )
+    rays, pixels = make_rays(base.batch_size)
+    results = {}
+    for name, cfg in (("pair", base),
+                      ("xla", base.replace(use_pallas=False,
+                                           pair_ipe=False))):
+        state = init_train_state(cfg)
+        step = make_jitted_train_step(cfg)
+        for _ in range(2):
+            state, stats = step(state, rays, pixels)
+        results[name] = (state, stats)
+    s_p, st_p = results["pair"]
+    s_x, st_x = results["xla"]
+    np.testing.assert_allclose(st_p.loss, st_x.loss, rtol=1e-5, atol=1e-6)
+    for (wp, bp), (wx, bx) in zip(s_p.params, s_x.params):
+        np.testing.assert_allclose(wp, wx, rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(bp, bx, rtol=1e-4, atol=1e-5)
+
+
+def test_xt_ipe_train_step_matches_unfused():
+    """Full train step with xt_ipe=True (one-fusion transposed encode)
+    == the plain XLA step (f32)."""
+    base = tiny_config(
+        batch_size=16, num_samples=8, num_levels=2, net_depth=3,
+        net_width=32, net_width_condition=16, skip_layer=2, max_deg_point=4,
+        randomized=False, donate_params=False, compute_dtype="float32",
+        use_pallas=True, xt_ipe=True,
+    )
+    rays, pixels = make_rays(base.batch_size)
+    results = {}
+    for name, cfg in (("xt", base),
+                      ("xla", base.replace(use_pallas=False,
+                                           xt_ipe=False))):
+        state = init_train_state(cfg)
+        step = make_jitted_train_step(cfg)
+        for _ in range(2):
+            state, stats = step(state, rays, pixels)
+        results[name] = (state, stats)
+    s_p, st_p = results["xt"]
+    s_x, st_x = results["xla"]
+    np.testing.assert_allclose(st_p.loss, st_x.loss, rtol=1e-5, atol=1e-6)
+    for (wp, bp), (wx, bx) in zip(s_p.params, s_x.params):
+        np.testing.assert_allclose(wp, wx, rtol=1e-4, atol=2e-5)
+        np.testing.assert_allclose(bp, bx, rtol=1e-4, atol=2e-5)
+
+
 def test_fuse_ipe_train_step_matches_unfused():
     """Full train step with fuse_ipe=True == the plain XLA step (f32)."""
     base = tiny_config(

@@ -178,3 +178,41 @@ def test_integrated_pos_enc_fast_matches_exact():
     fast = ipe.integrated_pos_enc((means, covs), 0, 16, fast=True)
     # bf16 quantum near 1.0 is ~4e-3; require 100x tighter.
     assert float(jnp.max(jnp.abs(exact - fast))) < 4e-5
+
+
+def test_integrated_pos_enc_split_matches_interleaved():
+    """The transposed sin/cos halves re-interleave exactly to the
+    reference-layout features (same products, same transcendentals —
+    only the layout differs)."""
+    rng = np.random.default_rng(2)
+    R, S, F = 4, 8, 16
+    means = jnp.asarray(rng.normal(size=(R, S, 3)) * 2.0)
+    covs = jnp.asarray(rng.uniform(0, 0.1, (R, S, 3)))
+    inter = ipe.integrated_pos_enc((means, covs), 0, F)
+    s48, c48 = ipe.integrated_pos_enc_split((means, covs), 0, F)
+    n = R * S
+    assert s48.shape == (3 * F, n) and c48.shape == (3 * F, n)
+    # interleaved row order: per frequency i, [sin(3) | cos(3)]
+    re = np.zeros((n, 6 * F), np.float32)
+    for i in range(F):
+        re[:, 6 * i : 6 * i + 3] = np.asarray(s48[3 * i : 3 * i + 3]).T
+        re[:, 6 * i + 3 : 6 * i + 6] = np.asarray(c48[3 * i : 3 * i + 3]).T
+    np.testing.assert_allclose(
+        re.reshape(R, S, 6 * F), np.asarray(inter), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_integrated_pos_enc_xt_matches_interleaved():
+    """The one-fusion transposed encode equals the interleaved features
+    transposed (cos rows computed as sin(y + pi/2))."""
+    rng = np.random.default_rng(4)
+    R, S, F = 4, 8, 16
+    means = jnp.asarray(rng.normal(size=(R, S, 3)) * 2.0)
+    covs = jnp.asarray(rng.uniform(0, 0.1, (R, S, 3)))
+    inter = ipe.integrated_pos_enc((means, covs), 0, F)
+    xt = ipe.integrated_pos_enc_xt((means, covs), 0, F)
+    assert xt.shape == (6 * F, R * S)
+    np.testing.assert_allclose(
+        np.asarray(xt).T.reshape(R, S, 6 * F), np.asarray(inter),
+        rtol=1e-5, atol=2e-5,
+    )
