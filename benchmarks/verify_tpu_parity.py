@@ -56,14 +56,29 @@ def main():
             "seconds": round(time.perf_counter() - t0, 1),
         }
         if dtype == "float32":
-            # Attribution: oracle at "highest" matmul precision. The
-            # kernel side is unchanged; only the reference computation
-            # gets exact-f32 matmuls.
+            # Attribution leg 1: oracle at "highest" matmul precision,
+            # kernel at default. Round-5 measurement: the error GROWS
+            # (0.92 -> 6.3 of band) — i.e. the default-precision gate was
+            # passing because kernel and oracle SHARE the f32-on-TPU
+            # bf16x3 matmul error; the band is below the hardware's f32
+            # matmul precision floor, not a kernel-algorithm margin.
             worst_hp, errs_hp = level_parity_errors(
                 dtype, oracle_precision="highest"
             )
             entry["worst_vs_highest_precision_oracle"] = round(worst_hp, 4)
             entry["worst_tensor_vs_highest"] = max(errs_hp, key=errs_hp.get)
+            # Attribution leg 2 (the ALGORITHM gate): BOTH sides at
+            # "highest" (bf16x6 ~ true f32). This isolates kernel math
+            # from the hardware floor; it must sit WELL inside the band.
+            worst_alg, errs_alg = level_parity_errors(
+                dtype, oracle_precision="highest",
+                kernel_precision="highest",
+            )
+            entry["worst_both_highest_precision"] = round(worst_alg, 4)
+            entry["margin_algorithm"] = round(1.0 - worst_alg, 4)
+            entry["worst_tensor_both_highest"] = max(
+                errs_alg, key=errs_alg.get)
+            ok = ok and worst_alg < 0.5
         results[dtype] = entry
         ok = ok and worst < 1.0
 

@@ -76,15 +76,20 @@ def normalized_err(a, b, atol: float, rtol: float) -> float:
 
 
 def level_parity_errors(dtype: str, atol=None, rtol=None,
-                        oracle_precision=None) -> Tuple[float, dict]:
+                        oracle_precision=None,
+                        kernel_precision=None) -> Tuple[float, dict]:
     """Run fused_level_train vs the jax.grad oracle; per-tensor errors.
 
     Args:
       oracle_precision: optional jax matmul precision for the ORACLE side
         only (e.g. "highest" = f32 via bf16x6 passes on TPU). Comparing the
         default-precision error against the "highest" one attributes the
-        parity gap: if the gap collapses, it lives in the ORACLE's bf16x3
-        matmuls, not the kernel.
+        parity gap: if the error GROWS against the more exact oracle, the
+        band is being consumed by the shared bf16x3 hardware error, not by
+        kernel algorithm error.
+      kernel_precision: optional matmul precision for the KERNEL side.
+        With BOTH sides at "highest", the comparison isolates ALGORITHM
+        parity from the f32-on-TPU bf16x3 matmul floor.
     Returns:
       (worst_normalized_err, {tensor_name: normalized_err}).
     """
@@ -98,9 +103,16 @@ def level_parity_errors(dtype: str, atol=None, rtol=None,
     lw = 0.1
     gsc = (lw * 2.0 * mask / jnp.maximum(jnp.sum(mask), 1e-10))[:, None]
 
-    comp, _, wts, dp = fused_level_train(
-        params, cfg, x_enc, dir_enc, t_vals, dirs, pixels, gsc, True
-    )
+    if kernel_precision is not None:
+        with jax.default_matmul_precision(kernel_precision):
+            comp, _, wts, dp = fused_level_train(
+                params, cfg, x_enc, dir_enc, t_vals, dirs, pixels, gsc,
+                True
+            )
+    else:
+        comp, _, wts, dp = fused_level_train(
+            params, cfg, x_enc, dir_enc, t_vals, dirs, pixels, gsc, True
+        )
 
     def oracle(p):
         return oracle_level_loss(p, cfg, x_enc, dir_enc, t_vals, dirs,

@@ -63,6 +63,22 @@ def test_fused_level_train_hardware_parity(dtype):
         _assert_close(db, dbo, atol, rtol)
 
 
+def test_fused_level_algorithm_parity_highest_precision():
+    """The ALGORITHM gate: kernel AND oracle at matmul precision
+    "highest" (bf16x6 ~ true f32), isolating kernel math from the
+    f32-on-TPU bf16x3 hardware floor. At default precision the band is
+    ~0.92 consumed because kernel and oracle SHARE the bf16x3 error
+    (proven: against a highest-precision oracle alone the error is 6.3x
+    the band); with both sides exact the kernel must sit well inside —
+    round-5 measurement: 0.15 of band."""
+    from nerf_or_nothing_tpu.utils.parity import level_parity_errors
+
+    worst, errs = level_parity_errors(
+        "float32", oracle_precision="highest", kernel_precision="highest"
+    )
+    assert worst < 0.5, (worst, max(errs, key=errs.get))
+
+
 def test_fused_level_render_hardware_parity():
     cfg, params, x_enc, dir_enc, t_vals, dirs, _ = parity_inputs("float32")
     comp, acc, wts = fused_level_render(
