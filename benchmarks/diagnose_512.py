@@ -114,15 +114,19 @@ def main():
         "s256": {"num_samples": 256},
         "b4096": {"batch_size": 4096},
         "pe_control": {"kill_radii": True},
+        # training-length hypothesis: same config, 3x the steps
+        "long3x": {"steps_mult": 3},
     }
 
     def run_variant(name):
         kw = dict(VARIANTS[name])
         kill_radii = kw.pop("kill_radii", False)
+        n_steps = args.steps * kw.pop("steps_mult", 1)
+        kw.setdefault("batch_size", 1024)
         cfg = Config(
-            batch_size=1024, dataset_loader=DatasetType.BLENDER,
+            dataset_loader=DatasetType.BLENDER,
             lr_init=5e-4, lr_final=5e-6, lr_delay_steps=2500,
-            lr_delay_mult=0.01, max_steps=args.steps, **kw,
+            lr_delay_mult=0.01, max_steps=n_steps, **kw,
         )
         ds = create_dataset("train", root, cfg)
         if kill_radii:
@@ -133,8 +137,8 @@ def main():
         t1 = time.perf_counter()
         step = 0
         stats = None
-        while step < args.steps:
-            k = min(args.steps_per_call, args.steps - step)
+        while step < n_steps:
+            k = min(args.steps_per_call, n_steps - step)
             batches = [next(ds) for _ in range(k)]
             rays_stack = Rays(*[
                 jnp.asarray(np.stack([np.asarray(b[0][i]) for b in batches]))
@@ -145,6 +149,7 @@ def main():
             state, stacked = multi(state, rays_stack, pixels_stack)
             stats = jax.tree.map(lambda a: a[-1], stacked)
             step += k
+        float(stats.loss)  # sync: dispatches are async through the tunnel
         ds.close()
         train_s = time.perf_counter() - t1
 

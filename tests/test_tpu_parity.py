@@ -96,6 +96,42 @@ def test_fused_level_render_hardware_parity():
     _assert_close(wts, wts_o, 1e-6, 1e-3)
 
 
+def test_fused_level_render_in_kernel_ipe_hardware_parity():
+    """The mv-mode render kernel (in-kernel IPE — the fuse_ipe_render
+    default eval path since round 5) compiled on real hardware must match
+    the unfused oracle fed the XLA-encoded features. Guards the Mosaic
+    lowering of the in-kernel encode (fast_sincos polynomials, scale
+    iota, [3, tile] blocks) at flagship shapes."""
+    from nerf_or_nothing_tpu.ops import ipe as ipe_lib
+
+    cfg, params, _, dir_enc, t_vals, dirs, _ = parity_inputs("float32")
+    R, S = t_vals.shape[0], cfg.num_samples
+    ks = jax.random.split(jax.random.PRNGKey(21), 2)
+    means = jax.random.normal(ks[0], (R, S, 3)) * 0.5
+    covs = jax.random.uniform(ks[1], (R, S, 3)) * 0.1
+
+    comp, acc, wts = fused_level_render(
+        params, cfg, None, dir_enc, t_vals, dirs, True,
+        means_covs=(means, covs),
+    )
+    x_enc = ipe_lib.integrated_pos_enc(
+        (means, covs), cfg.min_deg_point, cfg.max_deg_point,
+        fast=cfg.fast_ipe,
+    )
+    raw_rgb, raw_den = mlp_lib.apply_mlp(params, cfg, x_enc, dir_enc)
+    rgb = jax.nn.sigmoid(raw_rgb)
+    rgb = rgb * (1.0 + 2.0 * cfg.rgb_padding) - cfg.rgb_padding
+    density = jax.nn.softplus(raw_den[..., 0] + cfg.density_bias)
+    comp_o, acc_o, wts_o = render.composite(rgb, density, t_vals, dirs,
+                                            True)
+    # fast_sincos (kernel) vs fast_sin/fast_cos (oracle encode) differ at
+    # ~5e-7 per feature; band widened accordingly vs the exact-encode
+    # render test.
+    _assert_close(comp, comp_o, 1e-5, 1e-3)
+    _assert_close(acc, acc_o, 1e-5, 1e-3)
+    _assert_close(wts, wts_o, 1e-5, 1e-3)
+
+
 @pytest.mark.parametrize("samples", [64, 256])
 def test_fused_level_non128_samples_lowers_on_hardware(samples):
     """S != 128 cannot use the channel-plane composite on real TPU (Mosaic
