@@ -181,6 +181,11 @@ def main():
             )
             state, stacked = multi(state, rays_stack, pixels_stack)
             stats = jax.tree.map(lambda a: a[-1], stacked)
+            # Sync each dispatch: unbounded async queues through the
+            # tunnel intermittently wedge (~200 queued dispatches hung
+            # the round-5 400k run at step 200k); one ~54 ms fetch per
+            # 250 steps is a 0.2 ms/step robustness tax.
+            float(stats.loss)
         else:
             rays, pixels = next(ds)
             state, stats = single(

@@ -143,6 +143,8 @@ def main():
                     np.stack([np.asarray(b[1]) for b in batches]))
                 state, stacked = multi(state, rays_stack, pixels_stack)
                 stats = jax.tree.map(lambda a: a[-1], stacked)
+                # sync per dispatch: unbounded tunnel queues wedge
+                float(stats.loss)
             else:
                 rays, pixels = next(ds)
                 state, stats = single(
