@@ -180,7 +180,11 @@ class Config:
     remat: bool = False             # jax.checkpoint over the per-level MLP
 
     # ---- eval / render ----
-    render_chunk_size: int = 8192   # rays per chunk for full-image renders
+    # Rays per chunk for full-image renders. 16384 measured ~1% faster
+    # than 8192 on v5e (490.1k vs 486.7k rays/s; 32768 adds nothing
+    # further) and halves the per-chunk host round-trips through the
+    # tunnel.
+    render_chunk_size: int = 16384
     # Train in LINEAR radiance: loaders decode the sRGB-encoded images with
     # srgb_to_linear at load, and eval/render re-encode model output with
     # linear_to_srgb for metrics and saved PNGs — the reference defines
