@@ -34,7 +34,6 @@ _PI_B = 9.67502593994140625e-4
 _PI_C = 1.509957990978376432e-7
 _INV_PI = 0.3183098861837907
 _HALF_PI = 1.5707963267948966
-_PI_F32 = 3.141592653589793
 
 # sin(r)/r on [-pi/2, pi/2], even polynomial in r^2 (the widely used
 # minimax-tuned 5-term kernel; max abs error ~3e-7 on the interval).
@@ -138,26 +137,6 @@ def fast_sincos(x):
     odd = lax.bitwise_and(k_int, 1)
     sign = 1.0 - 2.0 * odd.astype(jnp.float32)
     return sign * _sin_poly(r), sign * _cos_poly(r)
-
-
-def fast_sin6(x, half_turns):
-    """sin(x + half_turns*pi) with the shift folded into the reduction.
-
-    ``half_turns`` broadcasts against x (e.g. a [6] marker vector that is
-    0.5 on the cos-half lanes): k absorbs the integer part and the
-    residual shift lands exactly like ``fast_cos``'s — no phase
-    precision lost to a rounded ``x + pi/2`` pre-add."""
-    x = x.astype(jnp.float32)
-    h = half_turns.astype(jnp.float32)
-    k = jnp.floor(x * _INV_PI + (h + 0.5))
-    r = x - k * _PI_A
-    r = r - k * _PI_B
-    r = r - k * _PI_C
-    r = r + h * _PI_F32
-    k_int = k.astype(jnp.int32)
-    odd = lax.bitwise_and(k_int, 1)
-    sign = 1.0 - 2.0 * odd.astype(jnp.float32)
-    return sign * _sin_poly(r)
 
 
 def fast_exp_neg(x):
